@@ -1,0 +1,313 @@
+"""Building blocks for the model zoo (NHWC, flax.linen).
+
+Behaviour-parity re-implementations of the reference's block library:
+
+- :class:`VGGBlock`            ← archs.py:94-112
+- :class:`ConvBlockBNReLU`     ← conv_block, archs.py:831-846
+- :class:`UpConv`              ← up_conv (nearest ×2 + conv+BN+ReLU), archs.py:848-860
+- :class:`AttentionBlock`      ← Attention_block, archs.py:115-142
+- :class:`SELayer`             ← archs.py:18-33
+- :class:`BasicBlock`          ← ResNet basic block, archs.py:205-241
+- :class:`Bottleneck`          ← archs.py:244-269 (expansion 1)
+- :class:`SubPixelConvBlock`   ← archs.py:145-175 / models_seg_gan.py:67-97
+- :class:`SRConvBlock`         ← SRGAN ConvolutionalBlock, models_seg_gan.py:13-64
+- :class:`Modulecell` / :class:`xResidualBlock` / :class:`xBasicBlock`
+                               ← xresidualblock.py:5-33, archs.py:178-202
+- :class:`SPADEResnetBlock`    ← archs.py:35-90
+
+Every module takes ``train: bool`` to select BatchNorm batch-vs-running
+statistics (torch ``.train()``/``.eval()``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ssunet_gan_tpu.ops.conv import Conv2d, Dense, PReLU
+from ssunet_gan_tpu.ops.norm import BatchNorm
+from ssunet_gan_tpu.ops.pool import global_avg_pool
+from ssunet_gan_tpu.ops.resize import pixel_shuffle, upsample_nearest
+from ssunet_gan_tpu.ops.spade import SPADE
+from ssunet_gan_tpu.ops.spectral import SNConv2d
+
+
+class VGGBlock(nn.Module):
+    """conv3-BN-ReLU ×2 with separate middle/out widths (archs.py:94-112)."""
+
+    middle_channels: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x = Conv2d(self.middle_channels, 3, padding=1, name="conv1")(x)
+        x = BatchNorm(self.middle_channels, name="bn1")(x, train)
+        x = nn.relu(x)
+        x = Conv2d(self.out_channels, 3, padding=1, name="conv2")(x)
+        x = BatchNorm(self.out_channels, name="bn2")(x, train)
+        return nn.relu(x)
+
+
+class ConvBlockBNReLU(nn.Module):
+    """conv_block: conv3-BN-ReLU ×2, equal widths (archs.py:831-846)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x = Conv2d(self.out_channels, 3, padding=1, name="conv1")(x)
+        x = BatchNorm(self.out_channels, name="bn1")(x, train)
+        x = nn.relu(x)
+        x = Conv2d(self.out_channels, 3, padding=1, name="conv2")(x)
+        x = BatchNorm(self.out_channels, name="bn2")(x, train)
+        return nn.relu(x)
+
+
+class UpConv(nn.Module):
+    """up_conv: nearest ×2 upsample → conv3-BN-ReLU (archs.py:848-860)."""
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x = upsample_nearest(x, 2)
+        x = Conv2d(self.out_channels, 3, padding=1, name="conv")(x)
+        x = BatchNorm(self.out_channels, name="bn")(x, train)
+        return nn.relu(x)
+
+
+class AttentionBlock(nn.Module):
+    """Attention U-Net gating block (archs.py:115-142)."""
+
+    f_int: int
+
+    @nn.compact
+    def __call__(self, g: jax.Array, x: jax.Array, train: bool = True) -> jax.Array:
+        g1 = Conv2d(self.f_int, 1, name="wg_conv")(g)
+        g1 = BatchNorm(self.f_int, name="wg_bn")(g1, train)
+        x1 = Conv2d(self.f_int, 1, name="wx_conv")(x)
+        x1 = BatchNorm(self.f_int, name="wx_bn")(x1, train)
+        psi = nn.relu(g1 + x1)
+        psi = Conv2d(1, 1, name="psi_conv")(psi)
+        psi = BatchNorm(1, name="psi_bn")(psi, train)
+        psi = jax.nn.sigmoid(psi)
+        return x * psi
+
+
+class SELayer(nn.Module):
+    """Squeeze-and-excitation (archs.py:18-33)."""
+
+    channel: int
+    reduction: int = 16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        y = global_avg_pool(x, keepdims=False)  # (B, C)
+        y = nn.relu(Dense(self.channel // self.reduction, use_bias=False, name="fc1")(y))
+        y = jax.nn.sigmoid(Dense(self.channel, use_bias=False, name="fc2")(y))
+        return x * y[:, None, None, :]
+
+
+class BasicBlock(nn.Module):
+    """ResNet basic block, expansion 1 (archs.py:205-241)."""
+
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        in_planes = x.shape[-1]
+        out = Conv2d(self.planes, 3, stride=self.stride, padding=1, use_bias=False, name="conv1")(x)
+        out = BatchNorm(self.planes, name="bn1")(out, train)
+        out = nn.relu(out)
+        out = Conv2d(self.planes, 3, padding=1, use_bias=False, name="conv2")(out)
+        out = BatchNorm(self.planes, name="bn2")(out, train)
+        if self.stride != 1 or in_planes != self.planes:
+            shortcut = Conv2d(
+                self.planes, 1, stride=self.stride, use_bias=False, name="shortcut_conv"
+            )(x)
+        else:
+            shortcut = x
+        return nn.relu(out + shortcut)
+
+
+class Bottleneck(nn.Module):
+    """ResNet bottleneck with expansion 1 (archs.py:244-269)."""
+
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        in_planes = x.shape[-1]
+        out = Conv2d(self.planes, 1, use_bias=False, name="conv1")(x)
+        out = nn.relu(BatchNorm(self.planes, name="bn1")(out, train))
+        out = Conv2d(self.planes, 3, stride=self.stride, padding=1, use_bias=False, name="conv2")(out)
+        out = nn.relu(BatchNorm(self.planes, name="bn2")(out, train))
+        out = Conv2d(self.planes, 1, use_bias=False, name="conv3")(out)
+        out = BatchNorm(self.planes, name="bn3")(out, train)
+        if self.stride != 1 or in_planes != self.planes:
+            shortcut = Conv2d(
+                self.planes, 1, stride=self.stride, use_bias=False, name="shortcut_conv"
+            )(x)
+            shortcut = BatchNorm(self.planes, name="shortcut_bn")(shortcut, train)
+        else:
+            shortcut = x
+        return nn.relu(out + shortcut)
+
+
+class SubPixelConvBlock(nn.Module):
+    """conv → pixel-shuffle → PReLU (archs.py:145-175)."""
+
+    n_channels: int = 64
+    kernel_size: int = 3
+    scaling_factor: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = Conv2d(
+            self.n_channels * self.scaling_factor**2,
+            self.kernel_size,
+            padding=self.kernel_size // 2,
+            name="conv",
+        )(x)
+        x = pixel_shuffle(x, self.scaling_factor)
+        return PReLU(name="prelu")(x)
+
+
+class SRConvBlock(nn.Module):
+    """SRGAN ConvolutionalBlock: conv [+BN] [+activation]
+    (models_seg_gan.py:13-64)."""
+
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    batch_norm: bool = False
+    activation: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        act = self.activation.lower() if self.activation is not None else None
+        assert act in {None, "prelu", "leakyrelu", "tanh"}
+        x = Conv2d(
+            self.out_channels,
+            self.kernel_size,
+            stride=self.stride,
+            padding=self.kernel_size // 2,
+            name="conv",
+        )(x)
+        if self.batch_norm:
+            x = BatchNorm(self.out_channels, name="bn")(x, train)
+        if act == "prelu":
+            x = PReLU(name="prelu")(x)
+        elif act == "leakyrelu":
+            x = nn.leaky_relu(x, 0.2)
+        elif act == "tanh":
+            x = jnp.tanh(x)
+        return x
+
+
+def gaussian_activation(x: jax.Array) -> jax.Array:
+    """exp(−x²) (xresidualblock.py:5-7)."""
+    return jnp.exp(-(x * x))
+
+
+class Modulecell(nn.Module):
+    """Feature conv × Gaussian-activated depthwise spatial mask
+    (xresidualblock.py:9-24)."""
+
+    out_channels: int = 64
+    kernel_size: int = 3
+    skernel_size: int = 9
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x1 = Conv2d(
+            self.out_channels,
+            self.kernel_size,
+            padding=(self.kernel_size - 1) // 2,
+            name="features_conv",
+        )(x)
+        m = BatchNorm(self.out_channels, name="module_bn1")(x1, train)
+        m = nn.relu(m)
+        m = Conv2d(
+            self.out_channels,
+            self.skernel_size,
+            padding=(self.skernel_size - 1) // 2,
+            groups=self.out_channels,
+            name="module_dwconv",
+        )(m)
+        m = BatchNorm(self.out_channels, name="module_bn2")(m, train)
+        x2 = gaussian_activation(m)
+        return x1 * x2
+
+
+class xResidualBlock(nn.Module):
+    """Modulecell → conv → BN, plus input residual (xresidualblock.py:26-33)."""
+
+    planes: int = 64
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        y = Modulecell(self.planes, self.kernel_size, name="md")(x, train)
+        y = Conv2d(self.planes, self.kernel_size, stride=self.stride, padding=1, name="conv2")(y)
+        y = BatchNorm(self.planes, name="bn1")(y, train)
+        return y + x
+
+
+class xBasicBlock(nn.Module):
+    """Two xResidualBlocks with an xRB shortcut (archs.py:178-202)."""
+
+    planes: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        in_planes = x.shape[-1]
+        out = nn.relu(xResidualBlock(self.planes, 3, self.stride, name="conv1")(x, train))
+        out = xResidualBlock(self.planes, 3, 1, name="conv2")(out, train)
+        if self.stride != 1 or in_planes != self.planes:
+            out = out + xResidualBlock(self.planes, 1, self.stride, name="shortcut")(x, train)
+        else:
+            out = out + x
+        return nn.relu(out)
+
+
+class SPADEResnetBlock(nn.Module):
+    """SPADE ResNet block with spectral-normed convs (archs.py:35-90).
+
+    ``semantic_nc`` is hardcoded to 2 by the reference (archs.py:41);
+    ``fmiddle`` is min(fin,fout) when opt_type==1 else max (archs.py:43-46).
+    """
+
+    fin: int
+    fout: int
+    opt_type: int = 1
+    semantic_nc: int = 2
+
+    @nn.compact
+    def __call__(self, x: jax.Array, seg: jax.Array, train: bool = True) -> jax.Array:
+        fmiddle = min(self.fin, self.fout) if self.opt_type == 1 else max(self.fin, self.fout)
+        learned_shortcut = self.fin != self.fout
+        cfg = "spadesyncbatch3x3"
+
+        def actvn(t):
+            return nn.leaky_relu(t, 2e-1)
+
+        if learned_shortcut:
+            x_s = SPADE(cfg, self.fin, self.semantic_nc, name="norm_s")(x, seg)
+            x_s = Conv2d(self.fout, 1, use_bias=False, name="conv_s")(x_s)
+        else:
+            x_s = x
+
+        dx = SPADE(cfg, self.fin, self.semantic_nc, name="norm_0")(x, seg)
+        dx = SNConv2d(fmiddle, 3, padding=1, name="conv_0")(actvn(dx), train)
+        dx = SPADE(cfg, fmiddle, self.semantic_nc, name="norm_1")(dx, seg)
+        dx = SNConv2d(self.fout, 3, padding=1, name="conv_1")(actvn(dx), train)
+
+        return x_s + dx

@@ -1,0 +1,124 @@
+"""Conv / Dense primitives with torch-faithful initialization.
+
+torch ``nn.Conv2d``/``nn.Linear`` default to kaiming-uniform(a=√5) weights —
+equivalently U(−1/√fan_in, +1/√fan_in) — with the same bound for the bias.
+Matching the init distribution keeps training dynamics comparable with the
+reference even before any weights are converted.
+
+Layout: NHWC activations, HWIO kernels (XLA's native TPU conv layout).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def torch_kernel_init(key, shape, dtype=jnp.float32):
+    """U(−1/√fan_in, 1/√fan_in) for HWIO kernels (torch conv default)."""
+    fan_in = int(np.prod(shape[:-1]))  # kh * kw * in_ch
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_dense_init(key, shape, dtype=jnp.float32):
+    """U(−1/√fan_in, 1/√fan_in) for (in, out) dense kernels."""
+    bound = 1.0 / np.sqrt(shape[0])
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _bias_init_for_fan(fan_in: int):
+    bound = 1.0 / np.sqrt(fan_in)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def kaiming_uniform_fan_in_init(key, shape, dtype=jnp.float32):
+    """torch ``init.kaiming_uniform_(w, mode='fan_in')`` (a=0, ReLU gain) for
+    HWIO kernels — used by the SS-UNet final 1×1 convs (archs.py:522-524)."""
+    fan_in = int(np.prod(shape[:-1]))
+    gain = np.sqrt(2.0)
+    bound = gain * np.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class Conv2d(nn.Module):
+    """torch-``nn.Conv2d``-shaped conv on NHWC.
+
+    ``padding`` is the symmetric int padding of torch (not 'SAME'). Supports
+    stride, groups, and optional bias with torch default init.
+    """
+
+    features: int
+    kernel_size: Union[int, Tuple[int, int]] = 3
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    groups: int = 1
+    use_bias: bool = True
+    kernel_init: Optional[object] = None
+    bias_fill: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ks = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) else tuple(self.kernel_size)
+        st = (self.stride,) * 2 if isinstance(self.stride, int) else tuple(self.stride)
+        pd = (self.padding,) * 2 if isinstance(self.padding, int) else tuple(self.padding)
+        in_ch = x.shape[-1]
+        kernel_shape = (*ks, in_ch // self.groups, self.features)
+        kernel = self.param(
+            "kernel", self.kernel_init or torch_kernel_init, kernel_shape, jnp.float32
+        )
+        y = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=st,
+            padding=((pd[0], pd[0]), (pd[1], pd[1])),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+        )
+        if self.use_bias:
+            fan_in = int(np.prod(kernel_shape[:-1]))
+            if self.bias_fill is not None:
+                bias_init = nn.initializers.constant(self.bias_fill)
+            else:
+                bias_init = _bias_init_for_fan(fan_in)
+            bias = self.param("bias", bias_init, (self.features,), jnp.float32)
+            y = y + bias.astype(y.dtype)
+        return y.astype(x.dtype)
+
+
+class Dense(nn.Module):
+    """torch-``nn.Linear``-shaped dense layer."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        in_features = x.shape[-1]
+        kernel = self.param("kernel", torch_dense_init, (in_features, self.features), jnp.float32)
+        y = jnp.dot(x, kernel.astype(x.dtype), preferred_element_type=jnp.float32)
+        if self.use_bias:
+            bias = self.param("bias", _bias_init_for_fan(in_features), (self.features,), jnp.float32)
+            y = y + bias
+        return y.astype(x.dtype)
+
+
+class PReLU(nn.Module):
+    """torch ``nn.PReLU()`` — one shared slope, init 0.25."""
+
+    init_value: float = 0.25
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        alpha = self.param("alpha", nn.initializers.constant(self.init_value), (1,), jnp.float32)
+        a = alpha.astype(x.dtype)
+        return jnp.where(x >= 0, x, a * x)
