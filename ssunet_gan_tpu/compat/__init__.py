@@ -1,0 +1,5 @@
+from ssunet_gan_tpu.compat.torch_loader import (  # noqa: F401
+    convert_torch_state_dict,
+    load_torch_checkpoint,
+    remove_prefix,
+)

@@ -1,0 +1,41 @@
+"""Model zoo and string registry.
+
+Mirrors the reference's ``archs.__dict__[name](num_classes, input_channels,
+deep_supervision)`` lookup contract (train.py:252-254) with the same 8
+exported names (archs.py:8) plus the non-exported ``ProgUNet``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from ssunet_gan_tpu.models.ssunet import SSUNet, UNetBSS, UNetRSS, UNetRSSv2
+from ssunet_gan_tpu.models.unet import AttUNet, NestedUNet, ProgUNet, UNet, UNetOri
+
+# reference archs.py:8 __all__ order
+ARCH_REGISTRY: Dict[str, Any] = {
+    "UNet": UNet,
+    "NestedUNet": NestedUNet,
+    "SSUNet": SSUNet,
+    "UNet_ori": UNetOri,
+    "UNet_B_SS": UNetBSS,
+    "AttUNet": AttUNet,
+    "UNet_R_SS": UNetRSS,
+    "UNet_R_SS_v2": UNetRSSv2,
+    # not exported by the reference's __all__ but present (archs.py:745)
+    "ProgUNet": ProgUNet,
+}
+
+ARCH_NAMES = list(ARCH_REGISTRY)[:8]  # the reference's exported set
+
+
+def build_model(arch: str, num_classes: int, input_channels: int = 3,
+                deep_supervision: bool = False):
+    """``archs.__dict__[arch](C, in_ch, ds)`` equivalent (train.py:252-254)."""
+    if arch not in ARCH_REGISTRY:
+        raise KeyError(f"unknown arch {arch!r}; available: {list(ARCH_REGISTRY)}")
+    return ARCH_REGISTRY[arch](
+        num_classes=num_classes,
+        input_channels=input_channels,
+        deep_supervision=deep_supervision,
+    )

@@ -1,0 +1,244 @@
+"""Self-SPADE U-Net family (the "ss-UNet" models; NHWC, flax.linen).
+
+Behaviour-parity re-implementations of:
+- ``SSUNet``       ← /root/reference/scripts/archs.py:673-743
+                     (VGGBlocks, filters 32..512, ss_scale 4)
+- ``UNet_B_SS``    ← archs.py:346-406 (Bottlenecks, 64..1024, ss_scale 16)
+- ``UNet_R_SS``    ← archs.py:469-556 (BasicBlocks, 6-level pyramid
+                     64/128/256/384/512/768, bilinear decoder)
+- ``UNet_R_SS_v2`` ← archs.py:559-671 — the reference config's flagship
+                     (configs/config_v1.json:14): same encoder, decoder
+                     un-pools the top 3 levels through saved max-pool
+                     indices with 1×1 channel-head convs, bilinear for the
+                     bottom 2.
+
+The defining pattern: after every stage the activation is SPADE-conditioned
+**on itself** (e.g. ``SPADE0_0(x0_0, x0_0)``, archs.py:722).  SPADE's
+``nhidden`` is ``nb_filter/ss_scale`` passed as a float (archs.py:486) and
+floored at 4 inside SPADE.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ssunet_gan_tpu.ops.blocks import BasicBlock, Bottleneck, VGGBlock
+from ssunet_gan_tpu.ops.conv import Conv2d, kaiming_uniform_fan_in_init
+from ssunet_gan_tpu.ops.pool import (
+    max_pool_2x2,
+    max_pool_2x2_with_indices,
+    max_unpool_2x2,
+)
+from ssunet_gan_tpu.ops.resize import upsample_bilinear
+from ssunet_gan_tpu.ops.spade import SPADE
+
+SPADE_CONTEXT = "spadebatch3x3"  # archs.py:483 (param-free norm is bypassed anyway)
+
+
+def _cat(*xs: jax.Array) -> jax.Array:
+    return jnp.concatenate(xs, axis=-1)
+
+
+def _up(x: jax.Array) -> jax.Array:
+    return upsample_bilinear(x, 2, align_corners=True)
+
+
+def _final_conv(num_classes: int, name: str = "final") -> Conv2d:
+    """Final 1×1 conv with kaiming-uniform fan_in weights and zero bias
+    (archs.py:522-524)."""
+    return Conv2d(
+        num_classes, 1, name=name, kernel_init=kaiming_uniform_fan_in_init, bias_fill=0.0
+    )
+
+
+class SSUNet(nn.Module):
+    """VGGBlock U-Net + self-SPADE at every stage (archs.py:673-743)."""
+
+    num_classes: int
+    input_channels: int = 3
+    deep_supervision: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        f = (32, 64, 128, 256, 512)  # archs.py:680
+        ss = 4  # archs.py:689
+        C = self.num_classes
+
+        def spade(i, name):
+            return SPADE(SPADE_CONTEXT, f[i], C, f[i] / ss, name=name)
+
+        x0_0 = VGGBlock(f[0], f[0], name="conv0_0")(x, train)
+        x0_0 = spade(0, "SPADE0_0")(x0_0, x0_0)
+        x1_0 = VGGBlock(f[1], f[1], name="conv1_0")(max_pool_2x2(x0_0), train)
+        x1_0 = spade(1, "SPADE1_0")(x1_0, x1_0)
+        x2_0 = VGGBlock(f[2], f[2], name="conv2_0")(max_pool_2x2(x1_0), train)
+        x2_0 = spade(2, "SPADE2_0")(x2_0, x2_0)
+        x3_0 = VGGBlock(f[3], f[3], name="conv3_0")(max_pool_2x2(x2_0), train)
+        x3_0 = spade(3, "SPADE3_0")(x3_0, x3_0)
+        x4_0 = VGGBlock(f[4], f[4], name="conv4_0")(max_pool_2x2(x3_0), train)
+        x4_0 = spade(4, "SPADE4_0")(x4_0, x4_0)
+
+        x3_1 = VGGBlock(f[3], f[3], name="conv3_1")(_cat(x3_0, _up(x4_0)), train)
+        x3_1 = spade(3, "SPADE3_1")(x3_1, x3_1)
+        x2_2 = VGGBlock(f[2], f[2], name="conv2_2")(_cat(x2_0, _up(x3_1)), train)
+        x2_2 = spade(2, "SPADE2_2")(x2_2, x2_2)
+        x1_3 = VGGBlock(f[1], f[1], name="conv1_3")(_cat(x1_0, _up(x2_2)), train)
+        x1_3 = spade(1, "SPADE1_3")(x1_3, x1_3)
+        x0_4 = VGGBlock(f[0], f[0], name="conv0_4")(_cat(x0_0, _up(x1_3)), train)
+        x0_4 = spade(0, "SPADE0_4")(x0_4, x0_4)
+
+        return Conv2d(self.num_classes, 1, name="final")(x0_4)
+
+
+class UNetBSS(nn.Module):
+    """Bottleneck U-Net + self-SPADE (archs.py:346-406)."""
+
+    num_classes: int
+    input_channels: int = 3
+    deep_supervision: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        f = (64, 128, 256, 512, 1024)  # archs.py:351
+        ss = 16  # archs.py:357
+        C = self.num_classes
+
+        def spade(i, name):
+            return SPADE(SPADE_CONTEXT, f[i], C, f[i] / ss, name=name)
+
+        x0_0 = Bottleneck(f[0], name="conv0_0")(x, train)
+        x0_0 = spade(0, "SPADE0_0")(x0_0, x0_0)
+        x1_0 = Bottleneck(f[1], name="conv1_0")(max_pool_2x2(x0_0), train)
+        x1_0 = spade(1, "SPADE1_0")(x1_0, x1_0)
+        x2_0 = Bottleneck(f[2], name="conv2_0")(max_pool_2x2(x1_0), train)
+        x2_0 = spade(2, "SPADE2_0")(x2_0, x2_0)
+        x3_0 = Bottleneck(f[3], name="conv3_0")(max_pool_2x2(x2_0), train)
+        x3_0 = spade(3, "SPADE3_0")(x3_0, x3_0)
+        x4_0 = Bottleneck(f[4], name="conv4_0")(max_pool_2x2(x3_0), train)
+        x4_0 = spade(4, "SPADE4_0")(x4_0, x4_0)
+
+        x3_1 = Bottleneck(f[3], name="conv3_1")(_cat(x3_0, _up(x4_0)), train)
+        x3_1 = spade(3, "SPADE3_1")(x3_1, x3_1)
+        x2_2 = Bottleneck(f[2], name="conv2_2")(_cat(x2_0, _up(x3_1)), train)
+        x2_2 = spade(2, "SPADE2_2")(x2_2, x2_2)
+        x1_3 = Bottleneck(f[1], name="conv1_3")(_cat(x1_0, _up(x2_2)), train)
+        x1_3 = spade(1, "SPADE1_3")(x1_3, x1_3)
+        x0_4 = Bottleneck(f[0], name="conv0_4")(_cat(x0_0, _up(x1_3)), train)
+        x0_4 = spade(0, "SPADE0_4")(x0_4, x0_4)
+
+        return Conv2d(self.num_classes, 1, name="final")(x0_4)
+
+
+class UNetRSS(nn.Module):
+    """BasicBlock 6-level U-Net + self-SPADE, bilinear decoder
+    (archs.py:469-556, six_step=True)."""
+
+    num_classes: int
+    input_channels: int = 3
+    deep_supervision: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        f = (64, 128, 256, 384, 512, 768)  # archs.py:478
+        ss = 16  # archs.py:484
+        C = self.num_classes
+
+        def spade(i, name):
+            return SPADE(SPADE_CONTEXT, f[i], C, f[i] / ss, name=name)
+
+        x0_0 = BasicBlock(f[0], name="conv0_0")(x, train)
+        x0_0 = spade(0, "SPADE0_0")(x0_0, x0_0)
+        x1_0 = BasicBlock(f[1], name="conv1_0")(max_pool_2x2(x0_0), train)
+        x1_0 = spade(1, "SPADE1_0")(x1_0, x1_0)
+        x2_0 = BasicBlock(f[2], name="conv2_0")(max_pool_2x2(x1_0), train)
+        x2_0 = spade(2, "SPADE2_0")(x2_0, x2_0)
+        x3_0 = BasicBlock(f[3], name="conv3_0")(max_pool_2x2(x2_0), train)
+        x3_0 = spade(3, "SPADE3_0")(x3_0, x3_0)
+        x4_0 = BasicBlock(f[4], name="conv4_0")(max_pool_2x2(x3_0), train)
+        x4_0 = spade(4, "SPADE4_0")(x4_0, x4_0)
+
+        x5_0 = BasicBlock(f[5], name="conv5_0")(max_pool_2x2(x4_0), train)
+        x5_0 = spade(5, "SPADE5_0")(x5_0, x5_0)
+        x4_1 = BasicBlock(f[4], name="conv4_1")(_cat(x4_0, _up(x5_0)), train)
+        x4_1 = spade(4, "SPADE4_1")(x4_1, x4_1)
+        x3_1 = BasicBlock(f[3], name="conv3_1")(_cat(x3_0, _up(x4_1)), train)
+
+        x3_1 = spade(3, "SPADE3_1")(x3_1, x3_1)
+        x2_2 = BasicBlock(f[2], name="conv2_2")(_cat(x2_0, _up(x3_1)), train)
+        x2_2 = spade(2, "SPADE2_2")(x2_2, x2_2)
+        x1_3 = BasicBlock(f[1], name="conv1_3")(_cat(x1_0, _up(x2_2)), train)
+        x1_3 = spade(1, "SPADE1_3")(x1_3, x1_3)
+        x0_4 = BasicBlock(f[0], name="conv0_4")(_cat(x0_0, _up(x1_3)), train)
+        x0_4 = spade(0, "SPADE0_4")(x0_4, x0_4)
+
+        return _final_conv(self.num_classes)(x0_4)
+
+
+class UNetRSSv2(nn.Module):
+    """The config's flagship arch: BasicBlock encoder + self-SPADE, decoder
+    with index-unpooling on the top 3 levels (archs.py:559-671).
+
+    Pool indices are carried as window-local 2-bit codes
+    (see ops/pool.py) rather than torch's flat HBM indices.
+    """
+
+    num_classes: int
+    input_channels: int = 3
+    deep_supervision: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        f = (64, 128, 256, 384, 512, 768)  # archs.py:568
+        ss = 16  # archs.py:575
+        C = self.num_classes
+
+        def spade(feat, name):
+            return SPADE(SPADE_CONTEXT, feat, C, feat / ss, name=name)
+
+        enc_0 = BasicBlock(f[0], name="conv0_0")(x, train)
+        enc_0 = spade(f[0], "SPADE0_0")(enc_0, enc_0)
+
+        p0, idx0 = max_pool_2x2_with_indices(enc_0)
+        enc_1 = BasicBlock(f[1], name="conv1_0")(p0, train)
+        enc_1 = spade(f[1], "SPADE1_0")(enc_1, enc_1)
+
+        p1, idx1 = max_pool_2x2_with_indices(enc_1)
+        enc_2 = BasicBlock(f[2], name="conv2_0")(p1, train)
+        enc_2 = spade(f[2], "SPADE2_0")(enc_2, enc_2)
+
+        p2, idx2 = max_pool_2x2_with_indices(enc_2)
+        enc_3 = BasicBlock(f[3], name="conv3_0")(p2, train)
+        enc_3 = spade(f[3], "SPADE3_0")(enc_3, enc_3)
+
+        p3, idx3 = max_pool_2x2_with_indices(enc_3)
+        enc_4 = BasicBlock(f[4], name="conv4_0")(p3, train)
+        enc_4 = spade(f[4], "SPADE4_0")(enc_4, enc_4)
+        p4, idx4 = max_pool_2x2_with_indices(enc_4)
+
+        enc_5 = BasicBlock(f[5], name="conv5_0")(p4, train)
+        enc_5 = spade(f[5], "SPADE5_0")(enc_5, enc_5)
+        enc_5 = Conv2d(f[4], 1, use_bias=False, name="conv_head5_0")(enc_5)
+        enc_5_up = max_unpool_2x2(enc_5, idx4)
+
+        dec_4 = BasicBlock(f[4], name="conv4_1")(_cat(enc_4, enc_5_up), train)
+        dec_4 = spade(f[4], "SPADE4_1")(dec_4, dec_4)
+        dec_4 = Conv2d(f[3], 1, use_bias=False, name="conv_head4_1")(dec_4)
+        dec_4_up = max_unpool_2x2(dec_4, idx3)
+
+        dec_3 = BasicBlock(f[3], name="conv3_1")(_cat(enc_3, dec_4_up), train)
+        dec_3 = spade(f[3], "SPADE3_1")(dec_3, dec_3)
+        dec_3 = Conv2d(f[2], 1, use_bias=False, name="conv_head3_1")(dec_3)
+        dec_3_up = max_unpool_2x2(dec_3, idx2)
+
+        dec_2 = BasicBlock(f[2], name="conv2_1")(_cat(enc_2, dec_3_up), train)
+        dec_2 = spade(f[2], "SPADE2_1")(dec_2, dec_2)
+
+        dec_1 = BasicBlock(f[1], name="conv1_1")(_cat(enc_1, _up(dec_2)), train)
+        dec_1 = spade(f[1], "SPADE1_1")(dec_1, dec_1)
+
+        dec_0 = BasicBlock(f[0], name="conv0_1")(_cat(enc_0, _up(dec_1)), train)
+        dec_0 = spade(f[0], "SPADE0_1")(dec_0, dec_0)
+
+        return _final_conv(self.num_classes)(dec_0)

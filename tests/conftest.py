@@ -38,6 +38,15 @@ def reference_path():
     compare against it)."""
     if REFERENCE_SCRIPTS not in sys.path:
         sys.path.insert(0, REFERENCE_SCRIPTS)
+    # torchvision isn't installed; the reference's archs.py imports it at
+    # module level but only uses it inside AttentiveCNN's resnet branch.
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.models = types.ModuleType("torchvision.models")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv.models
     return REFERENCE_SCRIPTS
 
 
