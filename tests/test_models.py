@@ -174,8 +174,11 @@ def test_spade_resnet_block_parity(reference_path, rng):
     ref_blk = ref_archs.SPADEResnetBlock(8, 16, {"num_class": 2, "opt_type": 1})
     ref_blk.eval()
 
+    # The reference block's SPADE builds x2map: Conv2d(norm_nc=fin → 2), so
+    # seg MUST have fin channels or the reference itself crashes — the block
+    # only runs self-conditioned, like every SPADE use in this codebase.
     x = rng.normal(size=(2, 8, 16, 16)).astype(np.float32)
-    seg = rng.normal(size=(2, 2, 16, 16)).astype(np.float32)
+    seg = rng.normal(size=(2, 8, 16, 16)).astype(np.float32)
     with torch.no_grad():
         ref_out = ref_blk(torch.tensor(x), torch.tensor(seg))
 
