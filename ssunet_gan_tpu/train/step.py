@@ -1,0 +1,155 @@
+"""Jitted supervised train / eval steps.
+
+One fused XLA program per step replaces the reference's per-batch hot loop
+(train.py:79-120): forward, NaN scrub, loss, **on-device** IoU/Dice (the
+reference syncs to host numpy every step, metrics.py:10-12 — hot-loop rank 4
+in SURVEY.md §3), weight clamp, backward, optimizer update.  Under a
+``data``-axis mesh the batch arrives sharded; every cross-batch reduction
+(BN stats, loss, metrics, gradients) lowers to ICI collectives
+automatically.
+
+Reference quirks preserved deliberately (SURVEY.md §7 "hard parts" #3):
+
+- ``output[isnan] = 0`` scrub before loss/metrics (train.py:100);
+- metrics computed on channels 1..C-1 only (train.py:101-102);
+- ``p.data.clamp_(-clip, clip)`` runs *after* the forward but *before* the
+  optimizer step (train.py:111-116): gradients are taken at the unclamped
+  weights, then updates apply to the clamped weights;
+- deep supervision averages the loss over heads but scores the last head
+  on **all** channels (train.py:84-95).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ssunet_gan_tpu.ops.metrics import dice_coef, foreground_slice, iou_score
+from ssunet_gan_tpu.train.state import TrainState
+
+Batch = Tuple[jax.Array, jax.Array]  # (image NHWC, target NHWC)
+
+
+def _scrub_nan(x: jax.Array) -> jax.Array:
+    return jnp.where(jnp.isnan(x), jnp.zeros_like(x), x)
+
+
+def _forward_loss(
+    model,
+    loss_fn: Callable,
+    num_classes: int,
+    deep_supervision: bool,
+    params,
+    aux_vars: Dict[str, Any],
+    mutable,
+    image: jax.Array,
+    target: jax.Array,
+    train: bool,
+):
+    variables = {"params": params, **aux_vars}
+    if mutable:
+        out, updates = model.apply(variables, image, train, mutable=mutable)
+    else:
+        out, updates = model.apply(variables, image, train), {}
+
+    if deep_supervision and isinstance(out, (list, tuple)):
+        outs = [_scrub_nan(o) for o in out]
+        loss = sum(loss_fn(o, target) for o in outs) / len(outs)
+        iou = iou_score(outs[-1], target)
+        dice = dice_coef(outs[-1], target)
+    else:
+        out = _scrub_nan(out)
+        loss = loss_fn(out, target)
+        out_m = foreground_slice(out, num_classes)
+        tar_m = foreground_slice(target, num_classes)
+        iou = iou_score(out_m, tar_m)
+        dice = dice_coef(out_m, tar_m)
+    metrics = {"loss": loss, "iou": iou, "dice": dice}
+    return loss, (metrics, updates)
+
+
+def make_train_step(
+    model,
+    loss_fn: Callable,
+    tx: optax.GradientTransformation,
+    num_classes: int,
+    deep_supervision: bool = False,
+    clip: float = 0.0,
+) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the jitted supervised train step ``(state, batch, lr) → (state, metrics)``."""
+
+    def step(state: TrainState, batch: Batch, lr: jax.Array):
+        image, target = batch
+        aux = {}
+        if state.batch_stats:
+            aux["batch_stats"] = state.batch_stats
+        if state.spectral:
+            aux["spectral"] = state.spectral
+        mutable = list(aux.keys())
+
+        grad_fn = jax.value_and_grad(
+            lambda p: _forward_loss(
+                model, loss_fn, num_classes, deep_supervision,
+                p, aux, mutable, image, target, True,
+            ),
+            has_aux=True,
+        )
+        (_, (metrics, updates)), grads = grad_fn(state.params)
+
+        # weight clamp before the update, gradients from unclamped weights
+        # (train.py:111-116)
+        params = state.params
+        if clip and clip > 0:
+            params = jax.tree_util.tree_map(lambda p: jnp.clip(p, -clip, clip), params)
+
+        deltas, opt_state = tx.update(grads, state.opt_state, params)
+        deltas = jax.tree_util.tree_map(lambda u: u * lr, deltas)
+        params = optax.apply_updates(params, deltas)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            spectral=updates.get("spectral", state.spectral),
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(
+    model,
+    loss_fn: Callable,
+    num_classes: int,
+    deep_supervision: bool = False,
+) -> Callable[[TrainState, Batch], Dict[str, jax.Array]]:
+    """Build the jitted eval step (validate(), train.py:141-190): running BN
+    stats, no state mutation."""
+
+    def step(state: TrainState, batch: Batch):
+        image, target = batch
+        aux = {}
+        if state.batch_stats:
+            aux["batch_stats"] = state.batch_stats
+        if state.spectral:
+            aux["spectral"] = state.spectral
+        _, (metrics, _) = _forward_loss(
+            model, loss_fn, num_classes, deep_supervision,
+            state.params, aux, [], image, target, False,
+        )
+        return metrics
+
+    return jax.jit(step)
+
+
+def make_predict_fn(model) -> Callable:
+    """Jitted inference forward: logits in eval mode."""
+
+    def predict(variables, image: jax.Array) -> jax.Array:
+        return model.apply(variables, image, False)
+
+    return jax.jit(predict)

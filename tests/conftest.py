@@ -50,6 +50,10 @@ def reference_path():
     return REFERENCE_SCRIPTS
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end tests")
+
+
 @pytest.fixture()
 def rng():
     return np.random.default_rng(1234)
