@@ -44,7 +44,7 @@ from ssunet_gan_tpu.train import checkpoint as ckpt
 from ssunet_gan_tpu.train.optim import build_optimizer, build_scheduler
 from ssunet_gan_tpu.train.state import TrainState
 from ssunet_gan_tpu.train.step import make_eval_step, make_train_step
-from ssunet_gan_tpu.utils import AverageMeter, count_params, seed_everything
+from ssunet_gan_tpu.utils import AverageMeter, count_params, jit_init, seed_everything
 
 
 def parse_args():
@@ -183,7 +183,7 @@ def run_experiment(
     sample = jnp.zeros(
         (1, config["input_h"], config["input_w"], config["input_channels"]), jnp.float32
     )
-    variables = model.init(root_key, sample, True)
+    variables = jit_init(model, root_key, sample, train=True)
     tx = build_optimizer(config)
     state = TrainState.create(variables, tx)
     state = replicate(mesh, state)

@@ -47,6 +47,17 @@ def str2bool(v: Any) -> bool:
     raise argparse.ArgumentTypeError("Boolean value expected.")
 
 
+def jit_init(model, key, *sample_args, train: bool = True):
+    """``model.init`` under ``jit``.
+
+    Eager flax init dispatches each op individually — minutes of overhead on
+    a 1-core host or across the axon TPU tunnel.  Under jit it is one
+    compile + one execution.  ``train`` is closed over (it selects Python
+    control flow, so it must be trace-static).
+    """
+    return jax.jit(lambda k, *a: model.init(k, *a, train))(key, *sample_args)
+
+
 def count_params(params) -> int:
     """Total number of parameters in a pytree (utils.py:54-55)."""
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
