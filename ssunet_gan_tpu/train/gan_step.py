@@ -1,0 +1,170 @@
+"""Jitted alternating G/D adversarial train step.
+
+One fused XLA program reproduces the reference's per-batch GAN iteration
+(train_seg_gan.py:167-233) with no host synchronization:
+
+G phase (train_seg_gan.py:188-215):
+  g_out = G(input); NaN scrub; seg loss = criterion(g_out, target);
+  content = MSE(g_out, target); adv = BCE(D(g_out), 1);
+  perceptual = seg + α·content + β·adv  (α=1e-4, β=1e-3,
+  train_seg_gan.py:172-173); gradients **value-clipped** to ±0.8
+  (clip_gradient, srgan_utils.py:186-195); Adam update.
+  Gradients flow into G *through* D (D params constant), exactly as torch's
+  ``optimizer_g.step()`` after a joint backward.
+
+D phase (train_seg_gan.py:217-233):
+  BCE(D(target), 1) + BCE(D(stop_grad(g_out)), 0) on the PRE-update
+  generator output (the reference reuses ``generator_output``), value-clip
+  ±0.8, Adam update.
+
+D's BatchNorm running stats update three times per iteration in reference
+order — D(g_out) during the G phase, then D(target), then D(g_out.detach())
+— preserved by threading the ``batch_stats`` collection through the three
+applications.
+
+Metrics logged are the *segmentation* loss + fg IoU/Dice
+(train_seg_gan.py:194-199), not the perceptual loss.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ssunet_gan_tpu.ops.losses import bce_with_logits_loss
+from ssunet_gan_tpu.ops.metrics import dice_coef, foreground_slice, iou_score
+from ssunet_gan_tpu.train.state import TrainState
+
+ALPHA = 1e-4  # content (MSE) weight, train_seg_gan.py:172
+BETA = 1e-3  # adversarial weight, train_seg_gan.py:173
+GRAD_CLIP = 0.8  # train_seg_gan.py:174
+
+
+def _mse(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.square(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+def _clip_grads(grads, clip: float):
+    """Per-element grad value clamp (clip_gradient, srgan_utils.py:186-195)."""
+    return jax.tree_util.tree_map(lambda g: jnp.clip(g, -clip, clip), grads)
+
+
+def _apply(model, params, aux, x, train, mutable):
+    variables = {"params": params, **aux}
+    if mutable:
+        return model.apply(variables, x, train, mutable=mutable)
+    return model.apply(variables, x, train), {}
+
+
+def make_gan_train_step(
+    generator,
+    discriminator,
+    seg_loss_fn: Callable,
+    tx_g: optax.GradientTransformation,
+    tx_d: optax.GradientTransformation,
+    num_classes: int,
+    alpha: float = ALPHA,
+    beta: float = BETA,
+    grad_clip: float = GRAD_CLIP,
+):
+    """Build the jitted GAN step ``(g_state, d_state, batch, lr) →
+    (g_state, d_state, metrics)``."""
+
+    def step(g_state: TrainState, d_state: TrainState, batch, lr: jax.Array):
+        image, target = batch
+
+        g_aux = {}
+        if g_state.batch_stats:
+            g_aux["batch_stats"] = g_state.batch_stats
+        if g_state.spectral:
+            g_aux["spectral"] = g_state.spectral
+        g_mutable = list(g_aux.keys())
+        d_aux = {}
+        if d_state.batch_stats:
+            d_aux["batch_stats"] = d_state.batch_stats
+        if d_state.spectral:
+            d_aux["spectral"] = d_state.spectral
+        d_mutable = list(d_aux.keys())
+
+        # ---- G phase ----------------------------------------------------
+        def g_loss_fn(g_params):
+            g_out, g_updates = _apply(generator, g_params, g_aux, image, True, g_mutable)
+            g_out = jnp.where(jnp.isnan(g_out), jnp.zeros_like(g_out), g_out)
+            seg_loss = seg_loss_fn(g_out, target)
+            content = _mse(g_out, target)
+            # D in train mode; its batch_stats mutate (first of three updates)
+            d_fake, d_updates1 = _apply(
+                discriminator, d_state.params, d_aux, g_out, True, d_mutable
+            )
+            adv = bce_with_logits_loss(d_fake, jnp.ones_like(d_fake))
+            perceptual = seg_loss + alpha * content + beta * adv
+            out_m = foreground_slice(g_out, num_classes)
+            tar_m = foreground_slice(target, num_classes)
+            metrics = {
+                "loss": seg_loss,
+                "iou": iou_score(out_m, tar_m),
+                "dice": dice_coef(out_m, tar_m),
+                "perceptual_loss": perceptual,
+                "adv_loss": adv,
+            }
+            return perceptual, (g_out, g_updates, d_updates1, metrics)
+
+        grads, (g_out, g_updates, d_updates1, metrics) = jax.grad(
+            g_loss_fn, has_aux=True
+        )(g_state.params)
+        grads = _clip_grads(grads, grad_clip)
+        g_deltas, g_opt_state = tx_g.update(grads, g_state.opt_state, g_state.params)
+        g_deltas = jax.tree_util.tree_map(lambda u: u * lr, g_deltas)
+        g_params = optax.apply_updates(g_state.params, g_deltas)
+        g_state = g_state.replace(
+            step=g_state.step + 1,
+            params=g_params,
+            opt_state=g_opt_state,
+            batch_stats=g_updates.get("batch_stats", g_state.batch_stats),
+            spectral=g_updates.get("spectral", g_state.spectral),
+        )
+
+        # ---- D phase (pre-update generator output, reference order) -----
+        d_aux2 = dict(d_aux)
+        if "batch_stats" in d_updates1:
+            d_aux2["batch_stats"] = d_updates1["batch_stats"]
+        if "spectral" in d_updates1:
+            d_aux2["spectral"] = d_updates1["spectral"]
+        g_out_sg = jax.lax.stop_gradient(g_out)
+
+        def d_loss_fn(d_params):
+            d_real, d_updates2 = _apply(
+                discriminator, d_params, d_aux2, target, True, d_mutable
+            )
+            d_aux3 = dict(d_aux2)
+            d_aux3.update(d_updates2)
+            d_fake, d_updates3 = _apply(
+                discriminator, d_params, d_aux3, g_out_sg, True, d_mutable
+            )
+            d_loss = bce_with_logits_loss(
+                d_fake, jnp.zeros_like(d_fake)
+            ) + bce_with_logits_loss(d_real, jnp.ones_like(d_real))
+            return d_loss, d_updates3
+
+        (d_loss, d_updates3), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+            d_state.params
+        )
+        d_grads = _clip_grads(d_grads, grad_clip)
+        d_deltas, d_opt_state = tx_d.update(d_grads, d_state.opt_state, d_state.params)
+        d_deltas = jax.tree_util.tree_map(lambda u: u * lr, d_deltas)
+        d_params = optax.apply_updates(d_state.params, d_deltas)
+        d_state = d_state.replace(
+            step=d_state.step + 1,
+            params=d_params,
+            opt_state=d_opt_state,
+            batch_stats=d_updates3.get("batch_stats", d_state.batch_stats),
+            spectral=d_updates3.get("spectral", d_state.spectral),
+        )
+
+        metrics["d_loss"] = d_loss
+        return g_state, d_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))
