@@ -19,4 +19,13 @@ Layer map mirrors SURVEY.md §1: cli → infer/train → models → ops → para
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("SSUNET_GAN_TPU_PLATFORM"):
+    # The axon TPU plugin ignores JAX_PLATFORMS; honoring our own env var via
+    # jax.config (before backend init) lets CLIs/tests force cpu/tpu.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["SSUNET_GAN_TPU_PLATFORM"])
+
 from ssunet_gan_tpu.config import load_experiment_config, ExperimentConfig  # noqa: F401

@@ -1,0 +1,206 @@
+"""Whole-scene inference API.
+
+Behaviour-parity re-implementation of
+/root/reference/scripts/aerial_image_segmentation_api.py:302-435, re-designed
+for TPU throughput:
+
+- the reference forwards one patch at a time with batch=1 on host-looped
+  tensors (api:386-390 — SURVEY.md §3 hot-loop rank 2); here all tiles run
+  through a **batched jitted forward** in fixed-size chunks (one compile),
+  sigmoid fused on device;
+- patch merging is device-resident scatter-add
+  (:func:`ssunet_gan_tpu.data.tiling.merge_patches_device`) instead of a
+  per-patch cv2-resize host loop.
+
+Deliberately-preserved quirks (they define the reference's observable
+inference behaviour, SURVEY.md §7):
+- ``patch_size`` is hardcoded to 1024 regardless of the model card
+  (api:330);
+- ``get_patched_input`` divides by 255 **after** albumentations Normalize
+  (api:362-367) — double normalization inconsistent with training, kept for
+  output parity;
+- GT masks come from a sibling path with ``image`` → ``labels`` substitution
+  (api:342-346) and are color-decoded via :func:`mask_convert`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ssunet_gan_tpu.config import load_model_card
+from ssunet_gan_tpu.data.tiling import (
+    extract_patches,
+    grid_coords,
+    mask_convert,
+    merge_patches_device,
+)
+from ssunet_gan_tpu.data.transforms import Compose, Normalize, Resize
+from ssunet_gan_tpu.infer.overlays import save_masking, save_masking_GT, save_masking_RE
+from ssunet_gan_tpu.models import build_model
+from ssunet_gan_tpu.train import checkpoint as ckpt
+from ssunet_gan_tpu.utils import jit_init
+
+INFER_BATCH = 8  # tiles per device forward (fixed → single compile)
+
+
+def load_segmentation_models(config_file: str):
+    """Load the ``val_config.name`` model from its card (api:302-332).
+
+    Returns (model, variables, config) — the functional analogue of the
+    reference's (model, config).
+    """
+    import json
+
+    with open(config_file, "rt") as f:
+        config_dict = json.loads(f.read())
+    file_dict = config_dict["file_path"]
+    val_config = config_dict["val_config"]
+    model_folder = file_dict["model_path"]
+    name = val_config["name"]
+
+    config = load_model_card(os.path.join(model_folder, name))
+    config["name"] = name
+    print("-" * 20)
+    for key in config.keys():
+        print("%s: %s" % (key, str(config[key])))
+    print("-" * 20)
+
+    print("=> creating model %s" % config["arch"])
+    model = build_model(
+        config["arch"], config["num_classes"], config["input_channels"],
+        bool(config["deep_supervision"]),
+    )
+    sample = jnp.zeros(
+        (1, config["input_h"], config["input_w"], config["input_channels"]), jnp.float32
+    )
+    template = jax.device_get(jit_init(model, jax.random.PRNGKey(0), sample, train=False))
+
+    model_dir = os.path.join(model_folder, name)
+    if os.path.isdir(os.path.join(model_dir, ckpt.MODEL_CKPT)):
+        variables = ckpt.load_model(model_dir, template)
+    elif os.path.exists(os.path.join(model_dir, "model.pth")):
+        from ssunet_gan_tpu.compat import load_torch_checkpoint
+
+        variables, _ = load_torch_checkpoint(os.path.join(model_dir, "model.pth"), template)
+    else:
+        raise FileNotFoundError(f"no checkpoint in {model_dir}")
+
+    config["patch_size"] = 1024  # hardcoded by the reference (api:330)
+    config["patch_overlap"] = val_config["patch_overlap"]
+    return model, variables, config
+
+
+def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool):
+    """Patch a scene and preprocess tiles for the model (api:336-373).
+
+    Returns (img_input, img_patch_set NHWC float32, mask_patch_set).
+    """
+    p_size = config["patch_size"]
+    img_size = config["input_w"]
+    patch_overlap = config["patch_overlap"]
+
+    img_input = cv2.imread(img_path)
+    if img_input is None:
+        raise FileNotFoundError(img_path)
+    if gt_mask_flag:
+        label_path = img_path.replace("image", "labels")
+        mask_input = cv2.imread(label_path)
+        if mask_input is None:
+            raise FileNotFoundError(label_path)
+    else:
+        mask_input = img_input
+
+    coords = grid_coords(img_input.shape[0], img_input.shape[1], p_size, patch_overlap)
+    image_patches = extract_patches(img_input, coords, p_size)
+    mask_patches = extract_patches(mask_input, coords, p_size)
+
+    val_tf = Compose([Resize(config["input_h"], config["input_w"]), Normalize()])
+    out = np.empty((len(coords), config["input_h"], config["input_w"], 3), np.float32)
+    for idx in range(len(coords)):
+        img = cv2.resize(image_patches[idx], (img_size, img_size))
+        img = val_tf(image=img)["image"]
+        out[idx] = img.astype(np.float32) / 255.0  # reference's extra /255 (api:367)
+    return img_input, out, mask_patches
+
+
+def _chunked_forward(model, variables, patches: np.ndarray, deep_supervision: bool):
+    """Run all tiles through one jitted batched forward in fixed chunks."""
+
+    @jax.jit
+    def forward(x):
+        out = model.apply(variables, x, False)
+        if isinstance(out, (list, tuple)):
+            out = out[-1]
+        return jax.nn.sigmoid(out)
+
+    n = len(patches)
+    pad = (-n) % INFER_BATCH
+    if pad:
+        patches = np.concatenate([patches, np.zeros_like(patches[:pad])])
+    outs = []
+    for i in range(0, len(patches), INFER_BATCH):
+        outs.append(forward(jnp.asarray(patches[i : i + INFER_BATCH])))
+    probs = jnp.concatenate(outs)[:n]
+    return probs
+
+
+def segmentation_inference(model, variables, img_input, img_patch_set,
+                           mask_patch_set, config: Dict, gt_mask_flag: bool):
+    """Batched tile inference + device merge (api:376-411).
+
+    Returns (all_class_mask, gt_class_mask): lists of C (H, W) uint8 masks.
+    """
+    patch_size = config["patch_size"]
+    infer_size = config["input_w"]
+    p_overlap = config["patch_overlap"]
+    num_classes = config["num_classes"]
+    h, w = img_input.shape[0], img_input.shape[1]
+    coords = grid_coords(h, w, patch_size, p_overlap)
+
+    probs = _chunked_forward(
+        model, variables, img_patch_set, bool(config["deep_supervision"])
+    )
+    merged = merge_patches_device(probs, coords, h, w, patch_size, num_classes)
+    all_class_mask = [merged[..., c] for c in range(num_classes)]
+
+    if gt_mask_flag:
+        gt_probs = np.empty(
+            (len(mask_patch_set), infer_size, infer_size, num_classes), np.float32
+        )
+        for idx, data in enumerate(mask_patch_set):
+            for c in range(num_classes):
+                gt_probs[idx, :, :, c] = mask_convert(np.asarray(data), c, infer_size) / 255.0
+        gt_merged = merge_patches_device(gt_probs, coords, h, w, patch_size, num_classes)
+        gt_class_mask = [gt_merged[..., c] for c in range(num_classes)]
+    else:
+        gt_class_mask = all_class_mask
+    return all_class_mask, gt_class_mask
+
+
+def save_image_color_masking(output_folder, image_name, full_img, all_class_mask,
+                             gt_class_mask, config: Dict, gt_mask_flag: bool):
+    """Overlay writers for classes 1.. (api:413-435)."""
+    out_dir = os.path.join(output_folder, config["name"])
+    os.makedirs(out_dir, exist_ok=True)
+    for c in range(config["num_classes"]):
+        if c == 0:
+            continue
+        file_name = "{:s}_{:d}".format(image_name, c)
+        mask_output = all_class_mask[c]
+        mask_gt = gt_class_mask[c] if gt_mask_flag else mask_output
+        if gt_mask_flag:
+            save_masking_GT(np.array(full_img).copy(), mask_gt, mask_output,
+                            os.path.join(out_dir, file_name + "_GT_masking.jpg"))
+        save_masking_RE(np.array(full_img).copy(), mask_output, mask_output,
+                        os.path.join(out_dir, file_name + "_RE_masking.jpg"))
+        if gt_mask_flag:
+            save_masking(np.array(full_img).copy(), mask_gt, mask_output,
+                         os.path.join(out_dir, file_name + "_GT_RE_masking.jpg"))
+    return 0

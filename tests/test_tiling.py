@@ -1,0 +1,129 @@
+"""Tiling tests: grid/patch parity vs the reference patch_gen, merge
+behaviour vs a reference-faithful numpy oracle, mask_convert semantics."""
+
+import numpy as np
+import pytest
+
+from ssunet_gan_tpu.data.tiling import (
+    extract_patches,
+    grid_coords,
+    mask_convert,
+    merge_patches_device,
+    patch_gen,
+    patch_merge,
+    post_process_resized_mask,
+)
+from tests.conftest import requires_reference
+
+
+@requires_reference
+@pytest.mark.parametrize("shape,p,ov", [((96, 128), 32, 0.5), ((70, 70), 32, 0.5),
+                                        ((64, 64), 32, 0.75), ((100, 90), 32, 0.25)])
+def test_patch_gen_matches_reference(reference_path, rng, shape, p, ov):
+    import dataset as ref_dataset
+
+    img = rng.integers(0, 255, (*shape, 3), np.uint8)
+    mask = rng.integers(0, 255, (*shape, 3), np.uint8)
+    ref_imgs, ref_masks = ref_dataset.patch_gen(img, mask, p, ov)
+    our_imgs, our_masks = patch_gen(img, mask, p, ov)
+    assert len(ref_imgs) == len(our_imgs)
+    for a, b in zip(ref_imgs, our_imgs):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(ref_masks, our_masks):
+        np.testing.assert_array_equal(a, b)
+
+
+def _numpy_merge_oracle(scene_hw, probs, coords, p_size, num_classes):
+    """Reference patch_merge (api:119-217) restricted to in_size == p_size
+    (identity resize): quantize→binarize>127→sum/coverage→avg→binarize."""
+    h, w = scene_hw
+    out = np.zeros((h, w, num_classes), np.uint8)
+    for c in range(num_classes):
+        merged = np.zeros((h, w))
+        div = np.zeros((h, w))
+        for k, (y, x) in enumerate(coords):
+            m = (probs[k][..., c] * 255).astype(np.uint8)
+            m = post_process_resized_mask(m) / 255.0
+            merged[y : y + p_size, x : x + p_size] += m
+            div[y : y + p_size, x : x + p_size] += 1.0
+        div[div == 0] = 1.0
+        full = ((merged / div) * 255).astype(np.uint8)
+        out[..., c] = post_process_resized_mask(full)
+    return out
+
+
+def test_merge_matches_oracle_identity_resize(rng):
+    h, w, p, C = 64, 96, 32, 3
+    coords = grid_coords(h, w, p, 0.5)
+    probs = rng.random((len(coords), p, p, C)).astype(np.float32)
+    ours = merge_patches_device(probs, coords, h, w, p, C)
+    oracle = _numpy_merge_oracle((h, w), probs, coords, p, C)
+    np.testing.assert_array_equal(ours, oracle)
+
+
+def test_merge_with_upscale_close_to_cv2(rng):
+    """in_size 16 → p_size 32 exercises the device resize path; compare to a
+    cv2-based oracle allowing rare threshold-edge flips."""
+    import cv2
+
+    h, w, p, in_size, C = 64, 64, 32, 16, 2
+    coords = grid_coords(h, w, p, 0.5)
+    probs = rng.random((len(coords), in_size, in_size, C)).astype(np.float32)
+    ours = merge_patches_device(probs, coords, h, w, p, C)
+
+    out = np.zeros((h, w, C), np.uint8)
+    for c in range(C):
+        merged = np.zeros((h, w))
+        div = np.zeros((h, w))
+        for k, (y, x) in enumerate(coords):
+            m = (probs[k][..., c] * 255).astype(np.uint8)
+            m = cv2.resize(m, (p, p))
+            m = post_process_resized_mask(m) / 255.0
+            merged[y : y + p, x : x + p] += m
+            div[y : y + p, x : x + p] += 1.0
+        div[div == 0] = 1.0
+        full = ((merged / div) * 255).astype(np.uint8)
+        out[..., c] = post_process_resized_mask(full)
+
+    diff = (ours != out).mean()
+    assert diff < 0.02, f"{diff:.4f} of pixels differ from cv2 oracle"
+
+
+def test_coverage_complete(rng):
+    """Every scene pixel is covered by at least one patch (the reason for
+    the 4-pass grid)."""
+    for h, w in [(70, 70), (100, 130), (64, 100)]:
+        coords = grid_coords(h, w, 32, 0.5)
+        cover = np.zeros((h, w))
+        for y, x in coords:
+            cover[y : y + 32, x : x + 32] += 1
+        assert (cover > 0).all()
+
+
+def test_patch_merge_reference_shaped_api(rng):
+    h, w, p, C = 64, 64, 32, 2
+    img = rng.integers(0, 255, (h, w, 3), np.uint8)
+    coords = grid_coords(h, w, p, 0.5)
+    masks = [rng.random((C, p, p)).astype(np.float32) for _ in range(len(coords))]
+    out = patch_merge(img, masks, p, {"num_classes": C}, 0.5)
+    assert len(out) == C
+    assert out[0].shape == (h, w)
+    assert set(np.unique(out[0])) <= {0, 255}
+
+
+def test_mask_convert_colors():
+    p = np.zeros((4, 4, 3), np.uint8)
+    p[0, 0] = (255, 255, 255)  # class 0 (BGR white)
+    p[1, 1] = (255, 0, 0)      # class 1 (BGR blue-channel 255)
+    p[2, 2] = (0, 0, 255)      # class 2 (red)
+    m0 = mask_convert(p, 0, 4)
+    m1 = mask_convert(p, 1, 4)
+    m2 = mask_convert(p, 2, 4)
+    assert m0[0, 0] == 255 and m0[1, 1] == 0
+    assert m1[1, 1] == 255 and m1[0, 0] == 0
+    assert m2[2, 2] == 255 and m2[1, 1] == 0
+
+
+def test_grid_coords_rejects_small_scene():
+    with pytest.raises(ValueError):
+        grid_coords(16, 16, 32, 0.5)
