@@ -56,6 +56,8 @@ RENAME_RULES: List[Tuple[str, str]] = [
     (r"(^|\.)conv_blocks\.(\d+)\.", r"\1block\2."),   # Discriminator
     (r"(^|\.)residual_blocks\.(\d+)\.", r"\1res\2."),  # SRResNet
     (r"(^|\.)subpixel_convolutional_blocks\.(\d+)\.", r"\1subpix\2."),
+    # EfficientNet ModuleList indices (efficientnet_pytorch/model.py:181-195)
+    (r"(^|\.)_blocks\.(\d+)\.", r"\1_blocks_\2."),
     # AttUNet / UNet_ori capitalized attributes (archs.py:276-301, 941-961)
     (r"(^|\.)Conv_1x1\.", r"\1final."),
     (r"(^|\.)Conv(\d)\.", r"\1conv\2."),
