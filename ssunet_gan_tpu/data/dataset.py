@@ -106,6 +106,71 @@ class SegmentationDataset:
         return ori_img, img, mask, {"img_id": img_id}
 
 
+def image_to_afile(img_dir: str, mask_dir: str, base_name, img_ids: Sequence[str],
+                   config: Dict) -> Dict[str, Dict[str, np.ndarray]]:
+    """Preload scene images into an in-memory dict keyed by id
+    (dataset.py:27-45) — the ``from_file`` fast path."""
+    out: Dict[str, Dict[str, np.ndarray]] = {}
+    for img_id in img_ids:
+        img = cv2.imread(os.path.join(img_dir, img_id + config["img_ext"]))
+        out[str(img_id)] = {"img": img}
+    return out
+
+
+class ScenePatchDataset:
+    """Whole-scene dataset: each item is one scene expanded into its 4-pass
+    patch grid (reference ``DatasetPatch``, dataset.py:236-320).
+
+    Items: ``(img_input, mask_input, img_patch_set, mask_patch_set, meta)``
+    with patches resized to ``infer_size`` and HWC float32 layout (the
+    reference's CHW transpose is dropped — NHWC is the TPU layout).
+    """
+
+    def __init__(self, scene_glob: str, img_ext: str, mask_ext: str,
+                 num_classes: int, input_channels: int, image_w: int,
+                 psize: int, patch_overlap: float, transform=None):
+        from glob import glob as _glob
+
+        self.img_paths = sorted(_glob(scene_glob))
+        self.img_ext = img_ext
+        self.mask_ext = mask_ext
+        self.num_classes = num_classes
+        self.transform = transform
+        self.infer_size = image_w
+        self.psize = psize
+        self.patch_overlap = patch_overlap
+
+    def __len__(self) -> int:
+        return len(self.img_paths)
+
+    def __getitem__(self, idx: int):
+        from ssunet_gan_tpu.data.tiling import extract_patches, grid_coords
+
+        img_path = self.img_paths[idx]
+        label_path = img_path.replace("image", "labels")
+        img_input = cv2.imread(img_path)
+        mask_input = cv2.imread(label_path)
+        if img_input is None:
+            raise FileNotFoundError(img_path)
+        if mask_input is None:
+            mask_input = img_input
+        coords = grid_coords(img_input.shape[0], img_input.shape[1], self.psize,
+                             self.patch_overlap)
+        image_patch = extract_patches(img_input, coords, self.psize)
+        mask_patch = extract_patches(mask_input, coords, self.psize)
+
+        s = self.infer_size
+        img_set = np.empty((len(coords), s, s, img_input.shape[2]), np.float32)
+        for k in range(len(coords)):
+            img = cv2.resize(image_patch[k], (s, s))
+            if self.transform is not None:
+                img = self.transform(image=img)["image"]
+            img_set[k] = img.astype(np.float32)
+        meta = {"img_id": os.path.splitext(os.path.basename(img_path))[0],
+                "coords": coords}
+        return img_input, mask_input, img_set, mask_patch, meta
+
+
 class SyntheticDataset:
     """Deterministic synthetic scenes for tests/benchmarks (no files needed).
 
