@@ -55,27 +55,40 @@ class BatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
 
+        if self.affine:
+            scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+
+        if not train:
+            # Eval fast path: running stats are constants, so normalization
+            # is a per-channel affine y = x·k + b.  Folding the f32 constant
+            # math into two channel vectors keeps the activation tensor in
+            # its own dtype end-to-end — no f32 round-trip between convs —
+            # and XLA fuses the multiply-add into the conv epilogue.
+            inv = jax.lax.rsqrt(ra_var.value + self.eps)
+            k = inv
+            b = -ra_mean.value * inv
+            if self.affine:
+                k = k * scale
+                b = b * scale + bias
+            y = x * k.astype(x.dtype) + b.astype(x.dtype)
+            return y.astype(self.dtype or x.dtype)
+
         compute_dtype = jnp.float32
         xf = x.astype(compute_dtype)
         reduce_axes = tuple(range(x.ndim - 1))
 
-        if train:
-            mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
-            n = 1
-            for ax in reduce_axes:
-                n *= x.shape[ax]
-            unbiased_var = var * (n / max(n - 1, 1))
-            if not self.is_initializing():
-                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased_var
-        else:
-            mean = ra_mean.value
-            var = ra_var.value
+        mean = jnp.mean(xf, axis=reduce_axes)
+        var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+        n = 1
+        for ax in reduce_axes:
+            n *= x.shape[ax]
+        unbiased_var = var * (n / max(n - 1, 1))
+        if not self.is_initializing():
+            ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+            ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased_var
 
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         if self.affine:
-            scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y * scale + bias
         return y.astype(self.dtype or x.dtype)

@@ -68,13 +68,22 @@ def _separable_apply(
 ) -> jax.Array:
     """Apply (OH,H) and (OW,W) matrices over the H and W axes of NHWC ``x``.
 
-    Defaults to HIGHEST precision so the f32 interpolation weights are not
-    silently truncated to bf16 on the MXU (the matrices are tiny; the cost
-    is negligible next to the convs around them).
+    f32 inputs run at HIGHEST precision so the interpolation weights are not
+    silently truncated on the MXU.  bf16 inputs stay bf16 end-to-end: the
+    model is already operating in reduced precision there, and keeping the
+    activation dtype avoids an f32 round-trip of the full tensor between
+    fused conv regions (2 interpolation taps per output lose nothing
+    meaningful at bf16).
     """
+    orig_dtype = x.dtype
+    if orig_dtype == jnp.bfloat16:
+        rm = jnp.asarray(row_m, dtype=jnp.bfloat16)
+        cm = jnp.asarray(col_m, dtype=jnp.bfloat16)
+        x = jnp.einsum("ph,bhwc->bpwc", rm, x, preferred_element_type=jnp.float32)
+        x = jnp.einsum("qw,bpwc->bpqc", cm, x, preferred_element_type=jnp.float32)
+        return x.astype(orig_dtype)
     rm = jnp.asarray(row_m, dtype=jnp.float32)
     cm = jnp.asarray(col_m, dtype=jnp.float32)
-    orig_dtype = x.dtype
     x = x.astype(jnp.float32)
     x = jnp.einsum("ph,bhwc->bpwc", rm, x, precision=precision)
     x = jnp.einsum("qw,bpwc->bpqc", cm, x, precision=precision)
