@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+from ssunet_gan_tpu.models.effnet_unet import EffNetUNet
 from ssunet_gan_tpu.models.ssunet import SSUNet, UNetBSS, UNetRSS, UNetRSSv2
 from ssunet_gan_tpu.models.unet import AttUNet, NestedUNet, ProgUNet, UNet, UNetOri
 
@@ -24,6 +25,9 @@ ARCH_REGISTRY: Dict[str, Any] = {
     "UNet_R_SS_v2": UNetRSSv2,
     # not exported by the reference's __all__ but present (archs.py:745)
     "ProgUNet": ProgUNet,
+    # the reference's latent AttentiveCNN/effnet path made runnable
+    # (train.py:274-301 'effnet' in arch branch; archs.py:409-466)
+    "effnet_unet": EffNetUNet,
 }
 
 ARCH_NAMES = list(ARCH_REGISTRY)[:8]  # the reference's exported set

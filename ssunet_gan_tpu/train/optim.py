@@ -47,6 +47,33 @@ def build_optimizer(config: Dict[str, Any]) -> optax.GradientTransformation:
     return optax.chain(*parts)
 
 
+def build_cnn_optimizer(config: Dict[str, Any]) -> optax.GradientTransformation:
+    """The encoder's second Adam (train.py:299-301: lr 1e-3 — applied as the
+    step's ``lr_cnn`` — with the experiment's weight decay)."""
+    wd = float(config.get("weight_decay", 0.0) or 0.0)
+    parts = []
+    if wd:
+        parts.append(optax.add_decayed_weights(wd))
+    parts.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    parts.append(optax.scale(-1.0))
+    return optax.chain(*parts)
+
+
+def encoder_param_labels(params) -> Any:
+    """Label tree: leaves under ``encoder/eff_conv`` → 'cnn', rest → 'main'
+    (the reference's cnn_subs split, train.py:275-278)."""
+    # only the eff_conv subtree is 'cnn'; encoder.conv_a stays 'main'
+    # (the reference adds conv_a to the main optimizer, train.py:286-287)
+    def walk(tree, in_cnn):
+        if isinstance(tree, dict):
+            return {
+                k: walk(v, in_cnn or k == "eff_conv") for k, v in tree.items()
+            }
+        return "cnn" if in_cnn else "main"
+
+    return walk(params, False)
+
+
 def adam(lr_unused: float = 0.0) -> optax.GradientTransformation:
     """Bare torch-default Adam transform (GAN trainer, train_seg_gan.py:452,468)."""
     return optax.chain(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8), optax.scale(-1.0))

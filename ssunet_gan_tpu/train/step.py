@@ -78,10 +78,19 @@ def make_train_step(
     num_classes: int,
     deep_supervision: bool = False,
     clip: float = 0.0,
+    param_labels=None,
 ) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
-    """Build the jitted supervised train step ``(state, batch, lr) → (state, metrics)``."""
+    """Build the jitted supervised train step ``(state, batch, lr) → (state, metrics)``.
 
-    def step(state: TrainState, batch: Batch, lr: jax.Array):
+    ``param_labels`` (optional) is a {'main', 'cnn'}-labelled tree matching
+    the params; 'cnn' leaves scale by the step's ``lr_cnn`` argument instead
+    of ``lr`` — the encoder dual-optimizer path ('effnet' in arch,
+    train.py:274-301, 118-120).  The reference's version never actually
+    trains the encoder (its cnn step runs on zeroed grads, SURVEY.md §7);
+    this implements the evident intent.
+    """
+
+    def step(state: TrainState, batch: Batch, lr: jax.Array, lr_cnn: jax.Array = 0.0):
         image, target = batch
         aux = {}
         if state.batch_stats:
@@ -106,7 +115,13 @@ def make_train_step(
             params = jax.tree_util.tree_map(lambda p: jnp.clip(p, -clip, clip), params)
 
         deltas, opt_state = tx.update(grads, state.opt_state, params)
-        deltas = jax.tree_util.tree_map(lambda u: u * lr, deltas)
+        if param_labels is None:
+            deltas = jax.tree_util.tree_map(lambda u: u * lr, deltas)
+        else:
+            deltas = jax.tree_util.tree_map(
+                lambda u, lab: u * (lr_cnn if lab == "cnn" else lr),
+                deltas, param_labels,
+            )
         params = optax.apply_updates(params, deltas)
 
         new_state = state.replace(

@@ -112,13 +112,16 @@ def build_datasets(cfg: ExperimentConfig, synthetic: Optional[int] = None):
     return tuple(sets)
 
 
-def train_one_epoch(epoch, config, loader, mesh, state, train_step, lr):
+def train_one_epoch(epoch, config, loader, mesh, state, train_step, lr,
+                    eff_flag: bool = False):
     meters = []
     t0 = time.time()
     n_images = 0
+    # encoder fine-tuning kicks in after epoch 1 (train.py:118-120)
+    lr_cnn = jnp.float32(1e-3 if (eff_flag and epoch > 1) else 0.0)
     for _, img, mask, _ in loader:
         batch = shard_batch(mesh, (jnp.asarray(img), jnp.asarray(mask)))
-        state, metrics = train_step(state, batch, jnp.float32(lr))
+        state, metrics = train_step(state, batch, jnp.float32(lr), lr_cnn)
         meters.append(metrics)
         n_images += img.shape[0]
         # keep at most 2 steps in flight: preserves dispatch/compute overlap
@@ -184,7 +187,20 @@ def run_experiment(
         (1, config["input_h"], config["input_w"], config["input_channels"]), jnp.float32
     )
     variables = jit_init(model, root_key, sample, train=True)
-    tx = build_optimizer(config)
+    eff_flag = "effnet" in config["arch"]  # train.py:273-278
+    if eff_flag:
+        import optax
+
+        from ssunet_gan_tpu.train.optim import build_cnn_optimizer, encoder_param_labels
+
+        param_labels = encoder_param_labels(variables["params"])
+        tx = optax.multi_transform(
+            {"main": build_optimizer(config), "cnn": build_cnn_optimizer(config)},
+            param_labels,
+        )
+    else:
+        param_labels = None
+        tx = build_optimizer(config)
     state = TrainState.create(variables, tx)
     state = replicate(mesh, state)
     print("=> creating model %s (%d params)" % (config["arch"], count_params(state.params)))
@@ -192,7 +208,7 @@ def run_experiment(
     scheduler = build_scheduler(config)
     train_step = make_train_step(
         model, loss_fn, tx, config["num_classes"], config["deep_supervision"],
-        clip=float(config.get("clip", 0.0) or 0.0),
+        clip=float(config.get("clip", 0.0) or 0.0), param_labels=param_labels,
     )
     eval_step = make_eval_step(
         model, loss_fn, config["num_classes"], config["deep_supervision"]
@@ -229,7 +245,7 @@ def run_experiment(
         lr = scheduler.lr(epoch)
         print("learning rate {:d}: {:f}".format(epoch, lr))
         state, train_log = train_one_epoch(
-            epoch, config, train_loader, mesh, state, train_step, lr
+            epoch, config, train_loader, mesh, state, train_step, lr, eff_flag
         )
         val_log = evaluate(config, val_loader, mesh, state, eval_step)
         scheduler.step_plateau(val_log["loss"])
