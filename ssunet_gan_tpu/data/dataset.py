@@ -50,6 +50,7 @@ class SegmentationDataset:
         num_classes: int,
         input_channels: int = 3,
         transform=None,
+        from_file: Optional[Dict[str, Dict[str, np.ndarray]]] = None,
     ):
         self.img_ids = list(img_ids)
         self.img_dir = img_dir
@@ -59,11 +60,16 @@ class SegmentationDataset:
         self.num_classes = int(num_classes)
         self.input_channels = int(input_channels)
         self.transform = transform
+        # preloaded {id: {'img': array}} dict from image_to_afile
+        # (dataset.py:100-102 from_file fast path)
+        self.from_file = from_file
 
     def __len__(self) -> int:
         return len(self.img_ids)
 
     def _read_image(self, img_id: str) -> np.ndarray:
+        if self.from_file is not None and self.input_channels == 3:
+            return self.from_file[str(img_id)]["img"]
         path = os.path.join(self.img_dir, img_id + self.img_ext)
         if self.input_channels == 3:
             img = cv2.imread(path)

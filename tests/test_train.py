@@ -252,3 +252,49 @@ def test_end_to_end_synthetic_experiment(tmp_path):
         cfg, synthetic=8, epochs_override=3, use_tensorboard=False
     )
     assert list(log2["epoch"]) == [2]
+
+
+def test_deep_supervision_train_step(rng):
+    """Deep-supervision branch: loss averaged over heads, metrics on the last
+    head without channel slicing (train.py:84-95)."""
+    from ssunet_gan_tpu.models import build_model
+
+    tx = build_optimizer({"optimizer": "Adam", "lr": 1e-3, "weight_decay": 0.0})
+    model = build_model("NestedUNet", 2, 3, deep_supervision=True)
+    variables = jax.jit(lambda k, x: model.init(k, x, True))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3))
+    )
+    state = TrainState.create(variables, tx)
+    step = make_train_step(model, bce_dice_loss, tx, num_classes=2,
+                           deep_supervision=True, clip=0.7)
+    img = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.random((2, 32, 32, 2)) > 0.5).astype(np.float32))
+    state, metrics = step(state, (img, mask), jnp.float32(1e-3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0 <= float(metrics["iou"]) <= 1
+
+
+def test_dataset_from_file_preload(tmp_path, rng):
+    """from_file fast path (dataset.py:100-102 / image_to_afile)."""
+    import cv2
+
+    from ssunet_gan_tpu.data.dataset import SegmentationDataset, image_to_afile
+
+    img_dir = tmp_path / "img"
+    mask_dir = tmp_path / "ann"
+    img_dir.mkdir()
+    for c in range(2):
+        (mask_dir / str(c)).mkdir(parents=True)
+    img = rng.integers(0, 255, (16, 16, 3), np.uint8)
+    cv2.imwrite(str(img_dir / "a.png"), img)
+    for c in range(2):
+        cv2.imwrite(str(mask_dir / str(c) / "a.png"),
+                    (rng.random((16, 16)) > 0.5).astype(np.uint8) * 255)
+
+    preload = image_to_afile(str(img_dir), str(mask_dir), None, ["a"],
+                             {"img_ext": ".png", "mask_ext": ".png"})
+    ds = SegmentationDataset(["a"], str(img_dir), str(mask_dir), ".png", ".png",
+                             2, 3, from_file=preload)
+    ori, im, mask, meta = ds[0]
+    np.testing.assert_array_equal(ori, preload["a"]["img"])
+    assert im.shape == (16, 16, 3) and mask.shape == (16, 16, 2)
