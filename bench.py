@@ -29,8 +29,8 @@ def main() -> None:
     on_tpu = jax.devices()[0].platform == "tpu"
     # CPU fallback keeps the harness runnable anywhere; numbers only matter on TPU
     tile = 512 if on_tpu else 64
-    batch = 16 if on_tpu else 2
-    iters = 20 if on_tpu else 2
+    batch = 32 if on_tpu else 2
+    iters = 10 if on_tpu else 2
 
     from ssunet_gan_tpu.utils import jit_init
 

@@ -140,3 +140,4 @@ def test_batchnorm_train_eval_parity(rng):
     ref_out = tbn(torch.tensor(nchw(x1))).detach().numpy()
     out = bn.apply(variables, jnp.asarray(x1), False)
     np.testing.assert_allclose(np.asarray(out), nhwc(ref_out), atol=1e-4)
+
