@@ -25,8 +25,10 @@ from typing import Any, Dict, Optional
 
 import yaml
 
-# Keys the reference coerces from string to bool (train.py:210-221, 256-259).
-_STRING_BOOL_KEYS = ("deep_supervision", "nesterov", "resume")
+# Keys the reference coerces from string to bool (train.py:210-221, 256-259),
+# plus this framework's extensions (mixed precision, per-block remat).
+_STRING_BOOL_KEYS = ("deep_supervision", "nesterov", "resume",
+                     "mixed_precision", "remat")
 
 
 def coerce_string_bool(value: Any) -> Any:

@@ -34,6 +34,25 @@ from ssunet_gan_tpu.ops.resize import pixel_shuffle, upsample_nearest
 from ssunet_gan_tpu.ops.spade import SPADE
 from ssunet_gan_tpu.ops.spectral import SNConv2d
 
+# Optional per-block rematerialization: the flagship's f32 backward at the
+# reference config (batch 6 @ 512²) needs ~20 GB HBM — over a single v5e's
+# 16 GB.  Wrapping each conv block in jax.checkpoint bounds live activations
+# to one block (same param tree, so checkpoints are unaffected).  Toggled by
+# the trainers via the 'remat' config key.
+_REMAT = False
+
+
+def set_remat(enabled: bool) -> None:
+    global _REMAT
+    _REMAT = bool(enabled)
+
+
+def maybe_remat(block_cls):
+    """Wrap a block class in nn.remat when remat mode is on (train arg static)."""
+    if _REMAT:
+        return nn.remat(block_cls, static_argnums=(2,))
+    return block_cls
+
 
 class VGGBlock(nn.Module):
     """conv3-BN-ReLU ×2 with separate middle/out widths (archs.py:94-112)."""

@@ -165,8 +165,11 @@ def run_gan_experiment(cfg, synthetic=None, epochs_override=None, mesh=None,
         print("Epoch [%d/%d]" % (epoch, epochs))
         print("generator learning rate {:d}: {:f}".format(epoch, gan_lr))
         meters = []
+        img_dtype = jnp.bfloat16 if config.get("mixed_precision") else jnp.float32
         for _, img, mask, _ in train_loader:
-            batch = shard_batch(mesh, (jnp.asarray(img), jnp.asarray(mask)))
+            batch = shard_batch(
+                mesh, (jnp.asarray(img, img_dtype), jnp.asarray(mask))
+            )
             g_state, d_state, metrics = gan_step(
                 g_state, d_state, batch, jnp.float32(gan_lr)
             )

@@ -119,8 +119,13 @@ def train_one_epoch(epoch, config, loader, mesh, state, train_step, lr,
     n_images = 0
     # encoder fine-tuning kicks in after epoch 1 (train.py:118-120)
     lr_cnn = jnp.float32(1e-3 if (eff_flag and epoch > 1) else 0.0)
+    # bf16 activations (params/BN stats/loss stay f32): every op follows the
+    # input dtype, so mixed precision is just an input cast
+    img_dtype = jnp.bfloat16 if config.get("mixed_precision") else jnp.float32
     for _, img, mask, _ in loader:
-        batch = shard_batch(mesh, (jnp.asarray(img), jnp.asarray(mask)))
+        batch = shard_batch(
+            mesh, (jnp.asarray(img, img_dtype), jnp.asarray(mask))
+        )
         state, metrics = train_step(state, batch, jnp.float32(lr), lr_cnn)
         meters.append(metrics)
         n_images += img.shape[0]
@@ -176,6 +181,10 @@ def run_experiment(
     dump_model_card(config, model_dir)
 
     loss_fn = get_loss(config["loss"])
+    if config.get("remat"):
+        from ssunet_gan_tpu.ops.blocks import set_remat
+
+        set_remat(True)
     model = build_model(
         config["arch"], config["num_classes"], config["input_channels"],
         config["deep_supervision"],
