@@ -130,8 +130,15 @@ def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool):
     return img_input, out, mask_patches
 
 
-def _chunked_forward(model, variables, patches: np.ndarray, deep_supervision: bool):
-    """Run all tiles through one jitted batched forward in fixed chunks."""
+def _chunked_forward(model, variables, patches: np.ndarray, deep_supervision: bool,
+                     mesh=None):
+    """Run all tiles through one jitted batched forward in fixed chunks.
+
+    With a ``mesh``, the tile batch shards over the ``data`` axis — the
+    TPU-native scale-out of the reference's spatial tiling (SURVEY.md §5
+    "ring-attention equivalent" slot): N chips each forward 1/N of the grid
+    and the merge consumes the gathered probabilities.
+    """
 
     @jax.jit
     def forward(x):
@@ -140,21 +147,34 @@ def _chunked_forward(model, variables, patches: np.ndarray, deep_supervision: bo
             out = out[-1]
         return jax.nn.sigmoid(out)
 
+    chunk = INFER_BATCH
+    if mesh is not None:
+        from ssunet_gan_tpu.parallel import replicate, shard_batch
+
+        n_data = mesh.shape["data"]
+        chunk = max(INFER_BATCH // n_data * n_data, n_data)
+        variables = replicate(mesh, variables)
+
     n = len(patches)
-    pad = (-n) % INFER_BATCH
+    pad = (-n) % chunk
     if pad:
         patches = np.concatenate([patches, np.zeros_like(patches[:pad])])
     outs = []
-    for i in range(0, len(patches), INFER_BATCH):
-        outs.append(forward(jnp.asarray(patches[i : i + INFER_BATCH])))
+    for i in range(0, len(patches), chunk):
+        x = jnp.asarray(patches[i : i + chunk])
+        if mesh is not None:
+            x = shard_batch(mesh, x)
+        outs.append(forward(x))
     probs = jnp.concatenate(outs)[:n]
     return probs
 
 
 def segmentation_inference(model, variables, img_input, img_patch_set,
-                           mask_patch_set, config: Dict, gt_mask_flag: bool):
+                           mask_patch_set, config: Dict, gt_mask_flag: bool,
+                           mesh=None):
     """Batched tile inference + device merge (api:376-411).
 
+    ``mesh`` (optional) shards the tile grid over the mesh's ``data`` axis.
     Returns (all_class_mask, gt_class_mask): lists of C (H, W) uint8 masks.
     """
     patch_size = config["patch_size"]
@@ -165,7 +185,7 @@ def segmentation_inference(model, variables, img_input, img_patch_set,
     coords = grid_coords(h, w, patch_size, p_overlap)
 
     probs = _chunked_forward(
-        model, variables, img_patch_set, bool(config["deep_supervision"])
+        model, variables, img_patch_set, bool(config["deep_supervision"]), mesh=mesh
     )
     merged = merge_patches_device(probs, coords, h, w, patch_size, num_classes)
     all_class_mask = [merged[..., c] for c in range(num_classes)]

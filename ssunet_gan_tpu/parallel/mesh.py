@@ -68,3 +68,22 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     """Device-put every array in ``tree`` fully replicated over the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> Mesh:
+    """Multi-host setup: `jax.distributed.initialize` + a global data mesh.
+
+    The reference is strictly single-host (SURVEY.md §2 parallelism table);
+    this is the optional multi-node extension: each host contributes its
+    local chips to one global ``data`` axis, and the same jitted train step
+    runs unchanged (batches must arrive globally sharded — use
+    :func:`shard_batch` with each host's local shard).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return make_mesh()

@@ -127,3 +127,39 @@ def test_mask_convert_colors():
 def test_grid_coords_rejects_small_scene():
     with pytest.raises(ValueError):
         grid_coords(16, 16, 32, 0.5)
+
+
+def test_sharded_tile_inference_matches_single_device(rng):
+    """segmentation_inference with a mesh shards the tile grid over the
+    'data' axis and produces the same masks as the unsharded path."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from ssunet_gan_tpu.infer.api import segmentation_inference
+    from ssunet_gan_tpu.ops.conv import Conv2d
+    from ssunet_gan_tpu.parallel import make_mesh
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return Conv2d(2, 3, padding=1, name="c")(x)
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), False)
+    config = {"patch_size": 64, "input_w": 32, "input_h": 32,
+              "patch_overlap": 0.5, "num_classes": 2, "deep_supervision": False}
+    img_input = rng.integers(0, 255, (128, 160, 3), np.uint8)
+    from ssunet_gan_tpu.data.tiling import grid_coords as gc, extract_patches as ep
+    coords = gc(128, 160, 64, 0.5)
+    patch_set = ep(img_input, coords, 64).astype(np.float32)[:, ::2, ::2] / 255.0
+
+    single, _ = segmentation_inference(
+        model, variables, img_input, patch_set, patch_set, config, False
+    )
+    mesh = make_mesh()
+    sharded, _ = segmentation_inference(
+        model, variables, img_input, patch_set, patch_set, config, False, mesh=mesh
+    )
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a, b)
