@@ -123,10 +123,18 @@ def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool):
 
     val_tf = Compose([Resize(config["input_h"], config["input_w"]), Normalize()])
     out = np.empty((len(coords), config["input_h"], config["input_w"], 3), np.float32)
-    for idx in range(len(coords)):
+
+    def prep(idx: int) -> None:
         img = cv2.resize(image_patches[idx], (img_size, img_size))
         img = val_tf(image=img)["image"]
         out[idx] = img.astype(np.float32) / 255.0  # reference's extra /255 (api:367)
+
+    # host preprocessing parallelized across patches (cv2 releases the GIL);
+    # the reference runs this loop serially (api:358-369)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, max(len(coords), 1))) as pool:
+        list(pool.map(prep, range(len(coords))))
     return img_input, out, mask_patches
 
 
