@@ -80,14 +80,25 @@ class BatchLoader:
         q: "queue.Queue[Any]" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # bounded put that aborts if the consumer went away
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 for chunk in batches:
                     if stop.is_set():
                         break
                     items = list(pool.map(self.dataset.__getitem__, chunk))
-                    q.put(_collate(items))
-            q.put(None)
+                    if not put_or_stop(_collate(items)):
+                        return
+            put_or_stop(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
