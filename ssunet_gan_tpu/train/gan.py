@@ -161,7 +161,19 @@ def run_gan_experiment(cfg, synthetic=None, epochs_override=None, mesh=None,
     trigger = 0
     epochs = epochs_override if epochs_override is not None else config["epochs"]
 
-    for epoch in range(epochs):
+    # real resume (the reference GAN trainer has none): both G and D full
+    # states (params, BN, spectral, optimizer moments) restore
+    start_epoch = 0
+    g_dir = os.path.join(model_dir, "generator_state")
+    d_dir = os.path.join(model_dir, "discriminator_state")
+    if config.get("resume") and ckpt.has_train_state(g_dir) and ckpt.has_train_state(d_dir):
+        g_state, meta = ckpt.restore_train_state(g_dir, g_state)
+        d_state, _ = ckpt.restore_train_state(d_dir, d_state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        best_iou = float(meta.get("best_iou", 0.0))
+        print(f"=> resumed GAN from epoch {start_epoch} (best_iou {best_iou:.4f})")
+
+    for epoch in range(start_epoch, epochs):
         print("Epoch [%d/%d]" % (epoch, epochs))
         print("generator learning rate {:d}: {:f}".format(epoch, gan_lr))
         meters = []
@@ -213,6 +225,9 @@ def run_gan_experiment(cfg, synthetic=None, epochs_override=None, mesh=None,
             best_iou = test_log["iou"]
             print("=> saved best model")
             trigger = 0
+        ckpt.save_train_state(g_dir, jax.device_get(g_state), epoch,
+                              {"best_iou": best_iou})
+        ckpt.save_train_state(d_dir, jax.device_get(d_state), epoch)
 
         if config.get("early_stopping", -1) >= 0 and trigger >= config["early_stopping"]:
             print("=> early stopping")
