@@ -37,10 +37,6 @@ from ssunet_gan_tpu.ops.spade import SPADE
 SPADE_CONTEXT = "spadebatch3x3"  # archs.py:483 (param-free norm is bypassed anyway)
 
 
-def _cat(*xs: jax.Array) -> jax.Array:
-    return jnp.concatenate(xs, axis=-1)
-
-
 def _up(x: jax.Array) -> jax.Array:
     return upsample_bilinear(x, 2, align_corners=True)
 
@@ -80,13 +76,13 @@ class SSUNet(nn.Module):
         x4_0 = maybe_remat(VGGBlock)(f[4], f[4], name="conv4_0")(max_pool_2x2(x3_0), train)
         x4_0 = spade(4, "SPADE4_0")(x4_0, x4_0)
 
-        x3_1 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_1")(_cat(x3_0, _up(x4_0)), train)
+        x3_1 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_1")((x3_0, _up(x4_0)), train)
         x3_1 = spade(3, "SPADE3_1")(x3_1, x3_1)
-        x2_2 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_2")(_cat(x2_0, _up(x3_1)), train)
+        x2_2 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_2")((x2_0, _up(x3_1)), train)
         x2_2 = spade(2, "SPADE2_2")(x2_2, x2_2)
-        x1_3 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_3")(_cat(x1_0, _up(x2_2)), train)
+        x1_3 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_3")((x1_0, _up(x2_2)), train)
         x1_3 = spade(1, "SPADE1_3")(x1_3, x1_3)
-        x0_4 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_4")(_cat(x0_0, _up(x1_3)), train)
+        x0_4 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_4")((x0_0, _up(x1_3)), train)
         x0_4 = spade(0, "SPADE0_4")(x0_4, x0_4)
 
         return Conv2d(self.num_classes, 1, name="final")(x0_4)
@@ -119,13 +115,13 @@ class UNetBSS(nn.Module):
         x4_0 = maybe_remat(Bottleneck)(f[4], name="conv4_0")(max_pool_2x2(x3_0), train)
         x4_0 = spade(4, "SPADE4_0")(x4_0, x4_0)
 
-        x3_1 = maybe_remat(Bottleneck)(f[3], name="conv3_1")(_cat(x3_0, _up(x4_0)), train)
+        x3_1 = maybe_remat(Bottleneck)(f[3], name="conv3_1")((x3_0, _up(x4_0)), train)
         x3_1 = spade(3, "SPADE3_1")(x3_1, x3_1)
-        x2_2 = maybe_remat(Bottleneck)(f[2], name="conv2_2")(_cat(x2_0, _up(x3_1)), train)
+        x2_2 = maybe_remat(Bottleneck)(f[2], name="conv2_2")((x2_0, _up(x3_1)), train)
         x2_2 = spade(2, "SPADE2_2")(x2_2, x2_2)
-        x1_3 = maybe_remat(Bottleneck)(f[1], name="conv1_3")(_cat(x1_0, _up(x2_2)), train)
+        x1_3 = maybe_remat(Bottleneck)(f[1], name="conv1_3")((x1_0, _up(x2_2)), train)
         x1_3 = spade(1, "SPADE1_3")(x1_3, x1_3)
-        x0_4 = maybe_remat(Bottleneck)(f[0], name="conv0_4")(_cat(x0_0, _up(x1_3)), train)
+        x0_4 = maybe_remat(Bottleneck)(f[0], name="conv0_4")((x0_0, _up(x1_3)), train)
         x0_4 = spade(0, "SPADE0_4")(x0_4, x0_4)
 
         return Conv2d(self.num_classes, 1, name="final")(x0_4)
@@ -161,16 +157,16 @@ class UNetRSS(nn.Module):
 
         x5_0 = maybe_remat(BasicBlock)(f[5], name="conv5_0")(max_pool_2x2(x4_0), train)
         x5_0 = spade(5, "SPADE5_0")(x5_0, x5_0)
-        x4_1 = maybe_remat(BasicBlock)(f[4], name="conv4_1")(_cat(x4_0, _up(x5_0)), train)
+        x4_1 = maybe_remat(BasicBlock)(f[4], name="conv4_1")((x4_0, _up(x5_0)), train)
         x4_1 = spade(4, "SPADE4_1")(x4_1, x4_1)
-        x3_1 = maybe_remat(BasicBlock)(f[3], name="conv3_1")(_cat(x3_0, _up(x4_1)), train)
+        x3_1 = maybe_remat(BasicBlock)(f[3], name="conv3_1")((x3_0, _up(x4_1)), train)
 
         x3_1 = spade(3, "SPADE3_1")(x3_1, x3_1)
-        x2_2 = maybe_remat(BasicBlock)(f[2], name="conv2_2")(_cat(x2_0, _up(x3_1)), train)
+        x2_2 = maybe_remat(BasicBlock)(f[2], name="conv2_2")((x2_0, _up(x3_1)), train)
         x2_2 = spade(2, "SPADE2_2")(x2_2, x2_2)
-        x1_3 = maybe_remat(BasicBlock)(f[1], name="conv1_3")(_cat(x1_0, _up(x2_2)), train)
+        x1_3 = maybe_remat(BasicBlock)(f[1], name="conv1_3")((x1_0, _up(x2_2)), train)
         x1_3 = spade(1, "SPADE1_3")(x1_3, x1_3)
-        x0_4 = maybe_remat(BasicBlock)(f[0], name="conv0_4")(_cat(x0_0, _up(x1_3)), train)
+        x0_4 = maybe_remat(BasicBlock)(f[0], name="conv0_4")((x0_0, _up(x1_3)), train)
         x0_4 = spade(0, "SPADE0_4")(x0_4, x0_4)
 
         return _final_conv(self.num_classes)(x0_4)
@@ -222,23 +218,23 @@ class UNetRSSv2(nn.Module):
         enc_5 = Conv2d(f[4], 1, use_bias=False, name="conv_head5_0")(enc_5)
         enc_5_up = max_unpool_2x2(enc_5, idx4)
 
-        dec_4 = maybe_remat(BasicBlock)(f[4], name="conv4_1")(_cat(enc_4, enc_5_up), train)
+        dec_4 = maybe_remat(BasicBlock)(f[4], name="conv4_1")((enc_4, enc_5_up), train)
         dec_4 = spade(f[4], "SPADE4_1")(dec_4, dec_4)
         dec_4 = Conv2d(f[3], 1, use_bias=False, name="conv_head4_1")(dec_4)
         dec_4_up = max_unpool_2x2(dec_4, idx3)
 
-        dec_3 = maybe_remat(BasicBlock)(f[3], name="conv3_1")(_cat(enc_3, dec_4_up), train)
+        dec_3 = maybe_remat(BasicBlock)(f[3], name="conv3_1")((enc_3, dec_4_up), train)
         dec_3 = spade(f[3], "SPADE3_1")(dec_3, dec_3)
         dec_3 = Conv2d(f[2], 1, use_bias=False, name="conv_head3_1")(dec_3)
         dec_3_up = max_unpool_2x2(dec_3, idx2)
 
-        dec_2 = maybe_remat(BasicBlock)(f[2], name="conv2_1")(_cat(enc_2, dec_3_up), train)
+        dec_2 = maybe_remat(BasicBlock)(f[2], name="conv2_1")((enc_2, dec_3_up), train)
         dec_2 = spade(f[2], "SPADE2_1")(dec_2, dec_2)
 
-        dec_1 = maybe_remat(BasicBlock)(f[1], name="conv1_1")(_cat(enc_1, _up(dec_2)), train)
+        dec_1 = maybe_remat(BasicBlock)(f[1], name="conv1_1")((enc_1, _up(dec_2)), train)
         dec_1 = spade(f[1], "SPADE1_1")(dec_1, dec_1)
 
-        dec_0 = maybe_remat(BasicBlock)(f[0], name="conv0_1")(_cat(enc_0, _up(dec_1)), train)
+        dec_0 = maybe_remat(BasicBlock)(f[0], name="conv0_1")((enc_0, _up(dec_1)), train)
         dec_0 = spade(f[0], "SPADE0_1")(dec_0, dec_0)
 
         return _final_conv(self.num_classes)(dec_0)

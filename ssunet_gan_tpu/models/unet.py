@@ -33,10 +33,6 @@ from ssunet_gan_tpu.ops.resize import upsample_bilinear
 NB_FILTER = (64, 128, 256, 512, 1024)  # archs.py:796, 868, 939
 
 
-def _cat(*xs: jax.Array) -> jax.Array:
-    return jnp.concatenate(xs, axis=-1)
-
-
 def _up(x: jax.Array) -> jax.Array:
     """nn.Upsample(scale_factor=2, mode='bilinear', align_corners=True)."""
     return upsample_bilinear(x, 2, align_corners=True)
@@ -58,10 +54,10 @@ class UNet(nn.Module):
         x3_0 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_0")(max_pool_2x2(x2_0), train)
         x4_0 = maybe_remat(VGGBlock)(f[4], f[4], name="conv4_0")(max_pool_2x2(x3_0), train)
 
-        x3_1 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_1")(_cat(x3_0, _up(x4_0)), train)
-        x2_2 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_2")(_cat(x2_0, _up(x3_1)), train)
-        x1_3 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_3")(_cat(x1_0, _up(x2_2)), train)
-        x0_4 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_4")(_cat(x0_0, _up(x1_3)), train)
+        x3_1 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_1")((x3_0, _up(x4_0)), train)
+        x2_2 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_2")((x2_0, _up(x3_1)), train)
+        x1_3 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_3")((x1_0, _up(x2_2)), train)
+        x0_4 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_4")((x0_0, _up(x1_3)), train)
 
         return Conv2d(self.num_classes, 1, name="final")(x0_4)
 
@@ -83,13 +79,13 @@ class UNetOri(nn.Module):
         x5 = maybe_remat(ConvBlockBNReLU)(f[4], name="conv5")(max_pool_2x2(x4), train)
 
         d5 = UpConv(f[3], name="up5")(x5, train)
-        d5 = maybe_remat(ConvBlockBNReLU)(f[3], name="up_conv5")(_cat(x4, d5), train)
+        d5 = maybe_remat(ConvBlockBNReLU)(f[3], name="up_conv5")((x4, d5), train)
         d4 = UpConv(f[2], name="up4")(d5, train)
-        d4 = maybe_remat(ConvBlockBNReLU)(f[2], name="up_conv4")(_cat(x3, d4), train)
+        d4 = maybe_remat(ConvBlockBNReLU)(f[2], name="up_conv4")((x3, d4), train)
         d3 = UpConv(f[1], name="up3")(d4, train)
-        d3 = maybe_remat(ConvBlockBNReLU)(f[1], name="up_conv3")(_cat(x2, d3), train)
+        d3 = maybe_remat(ConvBlockBNReLU)(f[1], name="up_conv3")((x2, d3), train)
         d2 = UpConv(f[0], name="up2")(d3, train)
-        d2 = maybe_remat(ConvBlockBNReLU)(f[0], name="up_conv2")(_cat(x1, d2), train)
+        d2 = maybe_remat(ConvBlockBNReLU)(f[0], name="up_conv2")((x1, d2), train)
 
         return Conv2d(self.num_classes, 1, name="final")(d2)
 
@@ -115,19 +111,19 @@ class AttUNet(nn.Module):
 
         d5 = UpConv(512, name="up5")(x5, train)
         a4 = AttentionBlock(256, name="att5")(d5, x4, train)
-        d5 = maybe_remat(ConvBlockBNReLU)(512, name="up_conv5")(_cat(a4, d5), train)
+        d5 = maybe_remat(ConvBlockBNReLU)(512, name="up_conv5")((a4, d5), train)
 
         d4 = UpConv(256, name="up4")(d5, train)
         a3 = AttentionBlock(128, name="att4")(d4, x3, train)
-        d4 = maybe_remat(ConvBlockBNReLU)(256, name="up_conv4")(_cat(a3, d4), train)
+        d4 = maybe_remat(ConvBlockBNReLU)(256, name="up_conv4")((a3, d4), train)
 
         d3 = UpConv(128, name="up3")(d4, train)
         a2 = AttentionBlock(64, name="att3")(d3, x2, train)
-        d3 = maybe_remat(ConvBlockBNReLU)(128, name="up_conv3")(_cat(a2, d3), train)
+        d3 = maybe_remat(ConvBlockBNReLU)(128, name="up_conv3")((a2, d3), train)
 
         d2 = UpConv(64, name="up2")(d3, train)
         a1 = AttentionBlock(32, name="att2")(d2, x1, train)
-        d2 = maybe_remat(ConvBlockBNReLU)(64, name="up_conv2")(_cat(a1, d2), train)
+        d2 = maybe_remat(ConvBlockBNReLU)(64, name="up_conv2")((a1, d2), train)
 
         return Conv2d(self.num_classes, 1, name="final")(d2)
 
@@ -146,27 +142,27 @@ class NestedUNet(nn.Module):
         f = NB_FILTER
         x0_0 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_0")(x, train)
         x1_0 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_0")(max_pool_2x2(x0_0), train)
-        x0_1 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_1")(_cat(x0_0, _up(x1_0)), train)
+        x0_1 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_1")((x0_0, _up(x1_0)), train)
 
         x2_0 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_0")(max_pool_2x2(x1_0), train)
-        x1_1 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_1")(_cat(x1_0, _up(x2_0)), train)
-        x0_2 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_2")(_cat(x0_0, x0_1, _up(x1_1)), train)
+        x1_1 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_1")((x1_0, _up(x2_0)), train)
+        x0_2 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_2")((x0_0, x0_1, _up(x1_1)), train)
 
         x3_0 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_0")(max_pool_2x2(x2_0), train)
-        x2_1 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_1")(_cat(x2_0, _up(x3_0)), train)
-        x1_2 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_2")(_cat(x1_0, x1_1, _up(x2_1)), train)
+        x2_1 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_1")((x2_0, _up(x3_0)), train)
+        x1_2 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_2")((x1_0, x1_1, _up(x2_1)), train)
         x0_3 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_3")(
-            _cat(x0_0, x0_1, x0_2, _up(x1_2)), train
+            (x0_0, x0_1, x0_2, _up(x1_2)), train
         )
 
         x4_0 = maybe_remat(VGGBlock)(f[4], f[4], name="conv4_0")(max_pool_2x2(x3_0), train)
-        x3_1 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_1")(_cat(x3_0, _up(x4_0)), train)
-        x2_2 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_2")(_cat(x2_0, x2_1, _up(x3_1)), train)
+        x3_1 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_1")((x3_0, _up(x4_0)), train)
+        x2_2 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_2")((x2_0, x2_1, _up(x3_1)), train)
         x1_3 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_3")(
-            _cat(x1_0, x1_1, x1_2, _up(x2_2)), train
+            (x1_0, x1_1, x1_2, _up(x2_2)), train
         )
         x0_4 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_4")(
-            _cat(x0_0, x0_1, x0_2, x0_3, _up(x1_3)), train
+            (x0_0, x0_1, x0_2, x0_3, _up(x1_3)), train
         )
 
         if self.deep_supervision:
@@ -195,10 +191,10 @@ class ProgUNet(nn.Module):
         x3_0 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_0")(max_pool_2x2(x2_0), train)
         x4_0 = maybe_remat(VGGBlock)(f[4], f[4], name="conv4_0")(max_pool_2x2(x3_0), train)
 
-        x3_1 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_1")(_cat(x3_0, _up(x4_0)), train)
-        x2_2 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_2")(_cat(x2_0, _up(x3_1)), train)
-        x1_3 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_3")(_cat(x1_0, _up(x2_2)), train)
-        x0_4 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_4")(_cat(x0_0, _up(x1_3)), train)
+        x3_1 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_1")((x3_0, _up(x4_0)), train)
+        x2_2 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_2")((x2_0, _up(x3_1)), train)
+        x1_3 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_3")((x1_0, _up(x2_2)), train)
+        x0_4 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_4")((x0_0, _up(x1_3)), train)
 
         return [
             Conv2d(self.num_classes, 1, name="final0")(x0_4),

@@ -137,8 +137,9 @@ class BasicBlock(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        in_planes = x.shape[-1]
+    def __call__(self, x, train: bool = True) -> jax.Array:
+        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        in_planes = sum(p.shape[-1] for p in parts)
         out = Conv2d(self.planes, 3, stride=self.stride, padding=1, use_bias=False, name="conv1")(x)
         out = BatchNorm(self.planes, name="bn1")(out, train)
         out = nn.relu(out)
@@ -149,7 +150,7 @@ class BasicBlock(nn.Module):
                 self.planes, 1, stride=self.stride, use_bias=False, name="shortcut_conv"
             )(x)
         else:
-            shortcut = x
+            shortcut = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         return nn.relu(out + shortcut)
 
 
@@ -160,8 +161,9 @@ class Bottleneck(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        in_planes = x.shape[-1]
+    def __call__(self, x, train: bool = True) -> jax.Array:
+        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+        in_planes = sum(p.shape[-1] for p in parts)
         out = Conv2d(self.planes, 1, use_bias=False, name="conv1")(x)
         out = nn.relu(BatchNorm(self.planes, name="bn1")(out, train))
         out = Conv2d(self.planes, 3, stride=self.stride, padding=1, use_bias=False, name="conv2")(out)
@@ -174,7 +176,7 @@ class Bottleneck(nn.Module):
             )(x)
             shortcut = BatchNorm(self.planes, name="shortcut_bn")(shortcut, train)
         else:
-            shortcut = x
+            shortcut = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         return nn.relu(out + shortcut)
 
 

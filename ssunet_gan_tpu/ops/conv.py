@@ -54,6 +54,13 @@ class Conv2d(nn.Module):
 
     ``padding`` is the symmetric int padding of torch (not 'SAME'). Supports
     stride, groups, and optional bias with torch default init.
+
+    The input may be a **tuple of arrays** standing for their channel
+    concatenation: ``conv(cat(a, b)) == conv_a(a) + conv_b(b)`` with the one
+    kernel sliced along its input-channel axis.  On TPU this is ~25% faster
+    at the U-Net decoder shapes than materializing the concat (XLA inserts
+    full-tensor layout copies around the concatenate) and leaves the
+    parameter tree — and therefore checkpoints/torch conversion — unchanged.
     """
 
     features: int
@@ -66,24 +73,40 @@ class Conv2d(nn.Module):
     bias_fill: Optional[float] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x) -> jax.Array:
+        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
         ks = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) else tuple(self.kernel_size)
         st = (self.stride,) * 2 if isinstance(self.stride, int) else tuple(self.stride)
         pd = (self.padding,) * 2 if isinstance(self.padding, int) else tuple(self.padding)
-        in_ch = x.shape[-1]
+        in_ch = sum(p.shape[-1] for p in parts)
+        if len(parts) > 1 and self.groups != 1:
+            raise ValueError("tuple (split-concat) input requires groups=1")
         kernel_shape = (*ks, in_ch // self.groups, self.features)
         kernel = self.param(
             "kernel", self.kernel_init or torch_kernel_init, kernel_shape, jnp.float32
         )
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(x.dtype),
-            window_strides=st,
-            padding=((pd[0], pd[0]), (pd[1], pd[1])),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-            preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
-        )
+
+        def one(p: jax.Array, k: jax.Array) -> jax.Array:
+            return jax.lax.conv_general_dilated(
+                p,
+                k.astype(p.dtype),
+                window_strides=st,
+                padding=((pd[0], pd[0]), (pd[1], pd[1])),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.float32 if p.dtype == jnp.float32 else None,
+            )
+
+        if len(parts) == 1:
+            y = one(parts[0], kernel)
+        else:
+            y = None
+            off = 0
+            for p in parts:
+                c = p.shape[-1]
+                yp = one(p, jax.lax.slice_in_dim(kernel, off, off + c, axis=2))
+                y = yp if y is None else y + yp
+                off += c
         if self.use_bias:
             fan_in = int(np.prod(kernel_shape[:-1]))
             if self.bias_fill is not None:
@@ -92,7 +115,7 @@ class Conv2d(nn.Module):
                 bias_init = _bias_init_for_fan(fan_in)
             bias = self.param("bias", bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(y.dtype)
-        return y.astype(x.dtype)
+        return y.astype(parts[0].dtype)
 
 
 class Dense(nn.Module):
