@@ -195,7 +195,8 @@ def segmentation_inference(model, variables, img_input, img_patch_set,
     probs = _chunked_forward(
         model, variables, img_patch_set, bool(config["deep_supervision"]), mesh=mesh
     )
-    merged = merge_patches_device(probs, coords, h, w, patch_size, num_classes)
+    merged = merge_patches_device(probs, coords, h, w, patch_size, num_classes,
+                                  overlap=p_overlap)
     all_class_mask = [merged[..., c] for c in range(num_classes)]
 
     if gt_mask_flag:
@@ -205,7 +206,8 @@ def segmentation_inference(model, variables, img_input, img_patch_set,
         for idx, data in enumerate(mask_patch_set):
             for c in range(num_classes):
                 gt_probs[idx, :, :, c] = mask_convert(np.asarray(data), c, infer_size) / 255.0
-        gt_merged = merge_patches_device(gt_probs, coords, h, w, patch_size, num_classes)
+        gt_merged = merge_patches_device(gt_probs, coords, h, w, patch_size,
+                                         num_classes, overlap=p_overlap)
         gt_class_mask = [gt_merged[..., c] for c in range(num_classes)]
     else:
         gt_class_mask = all_class_mask

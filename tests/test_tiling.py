@@ -163,3 +163,15 @@ def test_sharded_tile_inference_matches_single_device(rng):
     )
     for a, b in zip(single, sharded):
         np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("hw,p,ov", [((64, 96), 32, 0.5), ((70, 70), 32, 0.5),
+                                     ((128, 100), 32, 0.75), ((96, 96), 32, 0.5)])
+def test_grid_merge_fast_path_matches_scan(rng, hw, p, ov):
+    """The O(canvas) overlap-add merge equals the general scan merge."""
+    h, w = hw
+    coords = grid_coords(h, w, p, ov)
+    probs = rng.random((len(coords), p // 2, p // 2, 2)).astype(np.float32)
+    scan = merge_patches_device(probs, coords, h, w, p, 2)           # scan path
+    fast = merge_patches_device(probs, coords, h, w, p, 2, overlap=ov)  # fast path
+    np.testing.assert_array_equal(scan, fast)
