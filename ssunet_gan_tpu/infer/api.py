@@ -47,7 +47,8 @@ from ssunet_gan_tpu.models import build_model
 from ssunet_gan_tpu.train import checkpoint as ckpt
 from ssunet_gan_tpu.utils import jit_init
 
-INFER_BATCH = 8  # tiles per device forward (fixed → single compile)
+INFER_BATCH = 32  # tiles per device forward (fixed → single compile; b=32
+# saturates the flagship on v5e, see BASELINE.md)
 
 
 def load_segmentation_models(config_file: str):
