@@ -20,7 +20,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import cv2
 import numpy as np
 import pandas as pd
 

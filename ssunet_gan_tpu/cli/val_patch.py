@@ -21,7 +21,6 @@ from ssunet_gan_tpu.infer.api import (
     save_image_color_masking,
     segmentation_inference,
 )
-from ssunet_gan_tpu.utils import str2bool
 
 
 def parse_args():

@@ -27,7 +27,7 @@ from __future__ import annotations
 import math
 import os
 from glob import glob
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import cv2
 import numpy as np

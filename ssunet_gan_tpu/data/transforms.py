@@ -23,7 +23,7 @@ Every transform is ``t(image, mask, rng)`` → ``(image, mask)`` with a
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import cv2
 import numpy as np

@@ -26,7 +26,7 @@ inference behaviour, SURVEY.md §7):
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import cv2
 import numpy as np

@@ -14,7 +14,6 @@ param split applies) feeding a light upsampling decoder.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ssunet_gan_tpu.models.efficientnet import AttentiveCNN

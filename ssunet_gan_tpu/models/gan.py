@@ -19,7 +19,6 @@ from __future__ import annotations
 import math
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ssunet_gan_tpu.models import build_model

@@ -21,7 +21,6 @@ floored at 4 inside SPADE.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ssunet_gan_tpu.ops.blocks import BasicBlock, Bottleneck, VGGBlock, maybe_remat

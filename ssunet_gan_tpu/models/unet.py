@@ -16,7 +16,6 @@ from __future__ import annotations
 from typing import List, Union
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ssunet_gan_tpu.ops.blocks import (

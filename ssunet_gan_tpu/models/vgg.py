@@ -13,10 +13,9 @@ has no torchvision/network, so the module initializes randomly and
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ssunet_gan_tpu.ops.conv import Conv2d

@@ -10,7 +10,7 @@ Layout: NHWC activations, HWIO kernels (XLA's native TPU conv layout).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ from __future__ import annotations
 import re
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 from ssunet_gan_tpu.ops.conv import Conv2d

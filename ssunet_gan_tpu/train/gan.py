@@ -33,7 +33,6 @@ import pandas as pd
 
 from ssunet_gan_tpu.config import dump_model_card, load_experiment_config, load_model_card
 from ssunet_gan_tpu.data.loader import BatchLoader
-from ssunet_gan_tpu.models import build_model
 from ssunet_gan_tpu.models.gan import Discriminator, Generator
 from ssunet_gan_tpu.ops.losses import get_loss
 from ssunet_gan_tpu.parallel import make_mesh, replicate, shard_batch

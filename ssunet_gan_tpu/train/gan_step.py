@@ -28,7 +28,7 @@ Metrics logged are the *segmentation* loss + fg IoU/Dice
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -44,7 +44,7 @@ from ssunet_gan_tpu.train import checkpoint as ckpt
 from ssunet_gan_tpu.train.optim import build_optimizer, build_scheduler
 from ssunet_gan_tpu.train.state import TrainState
 from ssunet_gan_tpu.train.step import make_eval_step, make_train_step
-from ssunet_gan_tpu.utils import AverageMeter, count_params, jit_init, seed_everything
+from ssunet_gan_tpu.utils import count_params, jit_init, seed_everything
 
 
 def parse_args():
@@ -249,13 +249,26 @@ def run_experiment(
     iou_at_best_dice = 0.0
     epochs = epochs_override if epochs_override is not None else config["epochs"]
 
+    # 'profile_epoch': capture a jax.profiler device trace of that epoch
+    # into <checkpoint>/<name>/profile (TensorBoard 'profile' tab) — the
+    # reference has no profiling at all (SURVEY.md §5)
+    profile_epoch = config.get("profile_epoch", -1)
+
     for epoch in range(start_epoch, epochs):
         print("{:s} Epoch [{:d}/{:d}]".format(config["arch"], epoch, epochs))
         lr = scheduler.lr(epoch)
         print("learning rate {:d}: {:f}".format(epoch, lr))
-        state, train_log = train_one_epoch(
-            epoch, config, train_loader, mesh, state, train_step, lr, eff_flag
-        )
+        if epoch == profile_epoch:
+            from ssunet_gan_tpu.profiling import trace
+
+            with trace(os.path.join(checkpoint_folder, config["name"], "profile")):
+                state, train_log = train_one_epoch(
+                    epoch, config, train_loader, mesh, state, train_step, lr, eff_flag
+                )
+        else:
+            state, train_log = train_one_epoch(
+                epoch, config, train_loader, mesh, state, train_step, lr, eff_flag
+            )
         val_log = evaluate(config, val_loader, mesh, state, eval_step)
         scheduler.step_plateau(val_log["loss"])
         test_log = evaluate(config, test_loader, mesh, state, eval_step)
