@@ -28,7 +28,12 @@ from ssunet_gan_tpu.ops.resize import adaptive_avg_pool
 
 
 class Discriminator(nn.Module):
-    """SRGAN discriminator on segmentation maps (models_seg_gan.py:246-300)."""
+    """SRGAN discriminator on segmentation maps (models_seg_gan.py:246-300).
+
+    Reference quirk: its ``fc2`` is hardcoded ``Linear(1024, 1)`` regardless
+    of ``fc_size`` (models_seg_gan.py:284), so the reference only runs with
+    fc_size=1024; here fc2 follows ``fc_size`` (identical at the only value
+    the reference supports)."""
 
     num_classes: int
     kernel_size: int = 3
