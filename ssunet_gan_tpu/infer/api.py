@@ -85,7 +85,21 @@ def load_segmentation_models(config_file: str):
 
     model_dir = os.path.join(model_folder, name)
     if os.path.isdir(os.path.join(model_dir, ckpt.MODEL_CKPT)):
-        variables = ckpt.load_model(model_dir, template)
+        try:
+            variables = ckpt.load_model(model_dir, template)
+        except Exception:
+            # GAN-trained checkpoints wrap the arch in Generator's ``net``
+            # submodule; retry with that structure.  (The reference's API
+            # crashes on GAN checkpoints — strict load of prefixed keys,
+            # api:325; only its val.py handles them.)
+            from ssunet_gan_tpu.models.gan import Generator
+
+            model = Generator.from_config(config)
+            template = jax.device_get(
+                jit_init(model, jax.random.PRNGKey(0), sample, train=False)
+            )
+            variables = ckpt.load_model(model_dir, template)
+            print("=> loaded as GAN generator checkpoint")
     elif os.path.exists(os.path.join(model_dir, "model.pth")):
         from ssunet_gan_tpu.compat import load_torch_checkpoint
 
@@ -96,6 +110,20 @@ def load_segmentation_models(config_file: str):
     config["patch_size"] = 1024  # hardcoded by the reference (api:330)
     config["patch_overlap"] = val_config["patch_overlap"]
     return model, variables, config
+
+
+def effective_patch_size(h: int, w: int, p_size: int) -> int:
+    """Clamp the (reference-hardcoded 1024) patch size to the scene size.
+
+    The reference computes negative slice indices for scenes smaller than
+    the patch and silently extracts wrong patches; clamping to the scene's
+    short side (kept even for the structured-merge fast path) is strictly
+    saner."""
+    eff = min(p_size, h, w)
+    if eff != p_size:
+        eff -= eff % 2
+        print(f"=> scene {h}x{w} smaller than patch {p_size}; using {eff}")
+    return eff
 
 
 def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool):
@@ -118,6 +146,7 @@ def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool):
     else:
         mask_input = img_input
 
+    p_size = effective_patch_size(img_input.shape[0], img_input.shape[1], p_size)
     coords = grid_coords(img_input.shape[0], img_input.shape[1], p_size, patch_overlap)
     image_patches = extract_patches(img_input, coords, p_size)
     mask_patches = extract_patches(mask_input, coords, p_size)
@@ -191,6 +220,7 @@ def segmentation_inference(model, variables, img_input, img_patch_set,
     p_overlap = config["patch_overlap"]
     num_classes = config["num_classes"]
     h, w = img_input.shape[0], img_input.shape[1]
+    patch_size = effective_patch_size(h, w, patch_size)
     coords = grid_coords(h, w, patch_size, p_overlap)
 
     probs = _chunked_forward(
