@@ -137,3 +137,50 @@ def test_step_timer():
 
     stats = time_jitted(jax.jit(lambda x: x * 2), jnp.ones((8, 8)), iters=2)
     assert stats["mean_s"] > 0 and stats["compile_s"] > 0
+
+
+def test_api_loads_gan_generator_checkpoint(tmp_path):
+    """load_segmentation_models falls back to the Generator-wrapped template
+    for GAN-trained checkpoints (the reference's API crashes on these)."""
+    import json
+    import yaml
+
+    from ssunet_gan_tpu.infer.api import load_segmentation_models
+    from ssunet_gan_tpu.models.gan import Generator
+    from ssunet_gan_tpu.train import checkpoint as ckpt
+    from ssunet_gan_tpu.utils import jit_init
+
+    card = {"arch": "SSUNet", "num_classes": 2, "input_channels": 3,
+            "deep_supervision": False, "input_w": 32, "input_h": 32}
+    model_dir = tmp_path / "models" / "ganmodel"
+    model_dir.mkdir(parents=True)
+    with open(model_dir / "config.yml", "w") as f:
+        yaml.dump(card, f)
+
+    gen = Generator.from_config(card)
+    v = jax.device_get(
+        jit_init(gen, jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    )
+    ckpt.save_model(str(model_dir), v)
+
+    cfg = {"file_path": {"model_path": str(tmp_path / "models"),
+                         "input_path": str(tmp_path), "output_path": str(tmp_path),
+                         "checkpoint_path": str(tmp_path)},
+           "opt_config": {},
+           "val_config": {"name": "ganmodel", "patch_overlap": 0.5}}
+    cfg_path = tmp_path / "c.json"
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+
+    model, variables, config = load_segmentation_models(str(cfg_path))
+    out = model.apply(variables, jnp.zeros((1, 32, 32, 3)), False)
+    assert out.shape == (1, 32, 32, 2)
+    assert config["patch_size"] == 1024
+
+
+def test_effective_patch_size_clamps():
+    from ssunet_gan_tpu.infer.api import effective_patch_size
+
+    assert effective_patch_size(2048, 2048, 1024) == 1024
+    assert effective_patch_size(768, 900, 1024) == 768
+    assert effective_patch_size(701, 900, 1024) == 700  # kept even
