@@ -1,0 +1,52 @@
+"""Driver-entry regression tests.
+
+The round-1 scoreboard recorded ``dryrun_multichip(8)`` RED because the entry
+assumed the caller's backend already had 8 devices (the axon TPU plugin
+exposes one chip and ignores ``JAX_PLATFORMS``).  These tests pin the fix:
+the entry must self-provision a virtual CPU mesh when the local backend is
+too small.
+"""
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_inline():
+    """With >=8 devices already available (conftest mesh), runs inline."""
+    sys.path.insert(0, REPO)
+    try:
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+    finally:
+        sys.path.remove(REPO)
+
+
+def test_dryrun_multichip_self_provisions():
+    """From a 1-device parent, the entry must re-exec onto a virtual mesh.
+
+    Simulates the driver: a fresh process whose backend has exactly one
+    device calls ``dryrun_multichip(4)`` with no env help.
+    """
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["SSUNET_GAN_TPU_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert len(jax.devices()) == 1, jax.devices(); "
+        "import __graft_entry__ as g; g.dryrun_multichip(4)"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(4): ok" in proc.stdout, proc.stdout
