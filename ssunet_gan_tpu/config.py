@@ -26,9 +26,10 @@ from typing import Any, Dict, Optional
 import yaml
 
 # Keys the reference coerces from string to bool (train.py:210-221, 256-259),
-# plus this framework's extensions (mixed precision, per-block remat).
+# plus this framework's extensions (mixed precision, per-block remat, the
+# Pallas fused-SPADE kernel override — absent means auto: fused on TPU).
 _STRING_BOOL_KEYS = ("deep_supervision", "nesterov", "resume",
-                     "mixed_precision", "remat")
+                     "mixed_precision", "remat", "fused_spade")
 
 
 def coerce_string_bool(value: Any) -> Any:

@@ -24,9 +24,12 @@ from __future__ import annotations
 import re
 
 import jax
+import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
-from ssunet_gan_tpu.ops.conv import Conv2d
+from ssunet_gan_tpu.ops.conv import Conv2d, _bias_init_for_fan, torch_kernel_init
+from ssunet_gan_tpu.ops.spade_kernel import fused_spade_apply, fused_spade_enabled
 
 _CONFIG_RE = re.compile(r"spade(\D+)(\d)x\d")
 _KNOWN_NORMS = ("instance", "syncbatch", "batch")
@@ -44,6 +47,38 @@ def parse_spade_config(config_text: str):
             "%s is not a recognized param-free norm type in SPADE" % norm_type
         )
     return norm_type, ks
+
+
+class _ConvParams(nn.Module):
+    """Declares exactly ``Conv2d``'s param tree (kernel HWIO + bias, torch
+    init) without applying it — lets :class:`SPADE` share one set of γ/β
+    parameters between the XLA path and the fused Pallas kernel, keeping
+    checkpoints and the torch converter byte-identical either way."""
+
+    features: int
+    kernel_size: int
+    in_ch: int
+
+    @nn.compact
+    def __call__(self):
+        shape = (self.kernel_size, self.kernel_size, self.in_ch, self.features)
+        kernel = self.param("kernel", torch_kernel_init, shape, jnp.float32)
+        fan_in = int(np.prod(shape[:-1]))
+        bias = self.param("bias", _bias_init_for_fan(fan_in), (self.features,), jnp.float32)
+        return kernel, bias
+
+
+def _conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array, pad: int) -> jax.Array:
+    """The exact math of ``Conv2d.__call__`` for a single plain input."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+    )
+    return (y + bias.astype(y.dtype)).astype(x.dtype)
 
 
 class SPADE(nn.Module):
@@ -66,7 +101,14 @@ class SPADE(nn.Module):
         # Part 2: γ/β conditioned on the (projected) semantic map.
         segmap = Conv2d(self.label_nc, ks, padding=pw, name="x2map")(segmap)
         actv = nn.relu(Conv2d(nhidden, ks, padding=pw, name="mlp_shared")(segmap))
-        gamma = Conv2d(self.norm_nc, ks, padding=pw, name="mlp_gamma")(actv)
-        beta = Conv2d(self.norm_nc, ks, padding=pw, name="mlp_beta")(actv)
+        kg, bg = _ConvParams(self.norm_nc, ks, nhidden, name="mlp_gamma")()
+        kb, bb = _ConvParams(self.norm_nc, ks, nhidden, name="mlp_beta")()
 
+        if ks == 3 and fused_spade_enabled():
+            # Pallas block-fused γ/β matmul + modulation (ops/spade_kernel.py):
+            # gamma/beta stay VMEM-resident instead of 4 HBM round trips.
+            return fused_spade_apply(normalized, actv, kg, bg, kb, bb)
+
+        gamma = _conv_apply(actv, kg, bg, pw)
+        beta = _conv_apply(actv, kb, bb, pw)
         return normalized * (1 + gamma) + beta

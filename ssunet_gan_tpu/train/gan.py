@@ -100,6 +100,11 @@ def run_gan_experiment(cfg, synthetic=None, epochs_override=None, mesh=None,
         except Exception:
             writer = None
 
+    if "fused_spade" in config:
+        from ssunet_gan_tpu.ops.spade_kernel import set_fused_spade
+
+        set_fused_spade(bool(config["fused_spade"]))
+
     # generator from the supervised model card (train_seg_gan.py:445-448)
     generator_name = config["generator_name"]
     card_path = os.path.join(model_folder, generator_name, "config.yml")

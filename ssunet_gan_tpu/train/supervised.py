@@ -185,6 +185,10 @@ def run_experiment(
         from ssunet_gan_tpu.ops.blocks import set_remat
 
         set_remat(True)
+    if "fused_spade" in config:
+        from ssunet_gan_tpu.ops.spade_kernel import set_fused_spade
+
+        set_fused_spade(bool(config["fused_spade"]))
     model = build_model(
         config["arch"], config["num_classes"], config["input_channels"],
         config["deep_supervision"],

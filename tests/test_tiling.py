@@ -175,3 +175,33 @@ def test_grid_merge_fast_path_matches_scan(rng, hw, p, ov):
     scan = merge_patches_device(probs, coords, h, w, p, 2)           # scan path
     fast = merge_patches_device(probs, coords, h, w, p, 2, overlap=ov)  # fast path
     np.testing.assert_array_equal(scan, fast)
+
+
+def test_forward_cache_reused_across_scenes(rng):
+    """Repeat calls with the same (model, variables) must reuse one jitted
+    forward + device variables — no per-scene recompilation (VERDICT r1 #4)."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from ssunet_gan_tpu.infer import api as infer_api
+    from ssunet_gan_tpu.ops.conv import Conv2d
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return Conv2d(2, 3, padding=1, name="c")(x)
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), False)
+
+    f1, v1 = infer_api._get_forward(model, variables, None)
+    f2, v2 = infer_api._get_forward(model, variables, None)
+    assert f1 is f2 and v1 is v2
+
+    # and the cached pair actually drives _chunked_forward for many "scenes"
+    patches = rng.normal(size=(3, 16, 16, 3)).astype(np.float32)
+    out1 = infer_api._chunked_forward(model, variables, patches, False)
+    out2 = infer_api._chunked_forward(model, variables, patches, False)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert len(infer_api._FORWARD_CACHE) >= 1
