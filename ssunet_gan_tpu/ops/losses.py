@@ -115,32 +115,67 @@ def lovasz_hinge_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return lovasz_hinge(logits, labels, per_image=True)
 
 
-def lovasz_softmax(probas: jax.Array, labels: jax.Array) -> jax.Array:
-    """Multi-class Lovász-Softmax (losses.py:172-200), channels-last.
+def _lovasz_softmax_flat(flat: jax.Array, lab: jax.Array, class_list,
+                         require_present: bool, valid: jax.Array) -> jax.Array:
+    """Lovász-Softmax on flat (P, C) probabilities (losses.py:172-200).
 
-    probas: (..., C) class probabilities; labels: integer map (...,).
-    Each class is weighted by its presence in ``labels`` and the result is
-    the presence-weighted mean, matching classes='present' semantics without
-    data-dependent shapes (required under jit).
+    ``valid`` masks void pixels: their errors are forced to -inf so they sort
+    past every real pixel, contribute relu(-inf)=0 to the dot product, and
+    only occupy tail positions of the cumsums — numerically identical to the
+    reference's shape-changing filter, but jittable.
     """
-    C = probas.shape[-1]
-    flat = probas.reshape(-1, C).astype(jnp.float32)
-    lab = labels.reshape(-1)
+    C = flat.shape[1]
 
     def per_class(c):
-        fg = (lab == c).astype(jnp.float32)
+        fg = jnp.logical_and(lab == c, valid).astype(jnp.float32)
         class_pred = flat[:, 0] if C == 1 else flat[:, c]
-        errors = jnp.abs(fg - class_pred)
+        errors = jnp.where(valid, jnp.abs(fg - class_pred), -jnp.inf)
         perm = jnp.argsort(-errors)
-        errors_sorted = errors[perm]
+        errors_sorted = jax.nn.relu(errors[perm])
         fg_sorted = fg[perm]
         loss_c = jnp.dot(errors_sorted, _lovasz_grad(fg_sorted))
-        present = (jnp.sum(fg) > 0).astype(jnp.float32)
+        if require_present:
+            present = (jnp.sum(fg) > 0).astype(jnp.float32)
+        else:
+            present = jnp.float32(1.0)
         return loss_c * present, present
 
-    losses, present = jax.vmap(per_class)(jnp.arange(C))
+    losses, present = jax.vmap(per_class)(jnp.asarray(class_list))
     denom = jnp.maximum(jnp.sum(present), 1.0)
     return jnp.sum(losses) / denom
+
+
+def lovasz_softmax(probas: jax.Array, labels: jax.Array, classes="present",
+                   per_image: bool = False, ignore=None) -> jax.Array:
+    """Multi-class Lovász-Softmax (losses.py:154-200), channels-last.
+
+    probas: (..., C) class probabilities; labels: integer map (...,).
+    ``classes``: 'present' weights each class by its presence in ``labels``
+    (jit-compatible equivalent of the reference's data-dependent skip),
+    'all' averages every class, or an explicit class list.  ``per_image``
+    computes the loss per batch element and averages.  ``ignore`` marks a
+    void label value excluded from the loss (losses.py:154-170).
+    """
+    C = probas.shape[-1]
+    if classes in ("all", "present"):
+        class_list = list(range(C))
+        require_present = classes == "present"
+    else:
+        class_list = list(classes)
+        require_present = False
+
+    def flat_loss(p, l):
+        p2 = p.reshape(-1, C).astype(jnp.float32)
+        l1 = l.reshape(-1)
+        valid = jnp.ones_like(l1, bool) if ignore is None else (l1 != ignore)
+        return _lovasz_softmax_flat(p2, l1, class_list, require_present, valid)
+
+    if per_image:
+        b = probas.shape[0]
+        return jnp.mean(
+            jax.vmap(flat_loss)(probas.reshape(b, -1, C), labels.reshape(b, -1))
+        )
+    return flat_loss(probas, labels)
 
 
 def masked_l1_loss(inputs: jax.Array, targets: jax.Array, outputs: jax.Array) -> jax.Array:
@@ -158,6 +193,92 @@ def masked_l1_loss(inputs: jax.Array, targets: jax.Array, outputs: jax.Array) ->
         ot_mask = outputs[..., k : k + 1].astype(jnp.float32)
         total = total + jnp.mean(jnp.abs(gt_mask * inputs - ot_mask * inputs))
     return total
+
+
+def binary_xloss(logits: jax.Array, labels: jax.Array, ignore=None) -> jax.Array:
+    """Binary cross-entropy on logits with optional void label
+    (losses.py:139-151).
+
+    The reference filters void pixels out before StableBCELoss; the masked
+    mean below (sum over valid / count of valid) is numerically identical
+    and jittable.
+    """
+    logits = logits.reshape(-1).astype(jnp.float32)
+    labels = labels.reshape(-1)
+    neg_abs = -jnp.abs(logits)
+    loss = (
+        jnp.clip(logits, min=0)
+        - logits * labels.astype(jnp.float32)
+        + jnp.log1p(jnp.exp(neg_abs))
+    )
+    if ignore is None:
+        return jnp.mean(loss)
+    valid = (labels != ignore).astype(jnp.float32)
+    return jnp.sum(loss * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def xloss(logits: jax.Array, labels: jax.Array, ignore=None) -> jax.Array:
+    """Multi-class cross-entropy, channels-last logits (losses.py:221-226).
+
+    Reference quirk preserved: its ``ignore`` argument is accepted but
+    UNUSED — it always passes ``ignore_index=255`` to F.cross_entropy.
+    """
+    del ignore  # accepted-but-unused, exactly like the reference
+    C = logits.shape[-1]
+    flat = logits.reshape(-1, C).astype(jnp.float32)
+    lab = labels.reshape(-1)
+    valid = (lab != 255).astype(jnp.float32)
+    logp = jax.nn.log_softmax(flat, axis=-1)
+    picked = jnp.take_along_axis(
+        logp, jnp.clip(lab, 0, C - 1).reshape(-1, 1), axis=1
+    )[:, 0]
+    return -jnp.sum(picked * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def iou_binary(preds: jax.Array, labels: jax.Array, EMPTY: float = 1.0,
+               ignore=None, per_image: bool = True) -> jax.Array:
+    """100·IoU of the foreground class (losses.py:34-51)."""
+    if not per_image:
+        preds = preds.reshape(1, -1)
+        labels = labels.reshape(1, -1)
+    b = preds.shape[0]
+    preds = preds.reshape(b, -1)
+    labels = labels.reshape(b, -1)
+    inter = jnp.sum(jnp.logical_and(labels == 1, preds == 1), axis=1)
+    pred_fg = (preds == 1) if ignore is None else jnp.logical_and(
+        preds == 1, labels != ignore
+    )
+    union = jnp.sum(jnp.logical_or(labels == 1, pred_fg), axis=1)
+    iou_img = jnp.where(union > 0, inter / jnp.maximum(union, 1), EMPTY)
+    return 100.0 * jnp.mean(iou_img)
+
+
+def iou(preds: jax.Array, labels: jax.Array, C: int, EMPTY: float = 1.0,
+        ignore=None, per_image: bool = False) -> jax.Array:
+    """100·IoU per (non-ignored) class (losses.py:54-77); returns an array of
+    length C (or C-1 when ``ignore`` names a class in range).
+
+    Reference bug fixed here: its ``iou`` calls ``np.array`` without ever
+    importing numpy, so it raises NameError when invoked (losses.py:77).
+    """
+    if not per_image:
+        preds = preds.reshape(1, -1)
+        labels = labels.reshape(1, -1)
+    b = preds.shape[0]
+    preds = preds.reshape(b, -1)
+    labels = labels.reshape(b, -1)
+    classes = [i for i in range(C) if i != ignore]
+
+    def one_class(i):
+        inter = jnp.sum(jnp.logical_and(labels == i, preds == i), axis=1)
+        pred_i = (preds == i) if ignore is None else jnp.logical_and(
+            preds == i, labels != ignore
+        )
+        union = jnp.sum(jnp.logical_or(labels == i, pred_i), axis=1)
+        return jnp.where(union > 0, inter / jnp.maximum(union, 1), EMPTY)
+
+    per_cls = jax.vmap(one_class)(jnp.asarray(classes))  # (n_classes, B)
+    return 100.0 * jnp.mean(per_cls, axis=1)
 
 
 # Registry: reference exposes these names via losses.__all__ (+ BCEWithLogitsLoss
