@@ -15,6 +15,7 @@ No NCCL/MPI/Gloo backend exists or is needed (SURVEY.md §2).
 
 from ssunet_gan_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
+    initialize_multihost,
     make_mesh,
     replicated_sharding,
     shard_batch,
