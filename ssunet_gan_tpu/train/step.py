@@ -79,6 +79,7 @@ def make_train_step(
     deep_supervision: bool = False,
     clip: float = 0.0,
     param_labels=None,
+    accum_steps: int = 1,
 ) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jitted supervised train step ``(state, batch, lr) → (state, metrics)``.
 
@@ -88,6 +89,16 @@ def make_train_step(
     train.py:274-301, 118-120).  The reference's version never actually
     trains the encoder (its cnn step runs on zeroed grads, SURVEY.md §7);
     this implements the evident intent.
+
+    ``accum_steps`` > 1 splits the batch into that many microbatches scanned
+    sequentially: gradients are averaged and applied in ONE optimizer update,
+    so effective batches larger than HBM fit (extends the reference's fixed
+    per-step batch, train.py:114-116). Live activations shrink to one
+    microbatch. Equivalent to the full-batch step up to BatchNorm batch
+    statistics (each microbatch normalizes with its own batch stats, and the
+    running stats integrate sequentially — the same semantics as running k
+    torch steps). The batch size must divide by ``accum_steps``; under a
+    mesh each microbatch stays sharded over the ``data`` axis.
     """
 
     def step(state: TrainState, batch: Batch, lr: jax.Array, lr_cnn: jax.Array = 0.0):
@@ -99,14 +110,48 @@ def make_train_step(
             aux["spectral"] = state.spectral
         mutable = list(aux.keys())
 
-        grad_fn = jax.value_and_grad(
-            lambda p: _forward_loss(
-                model, loss_fn, num_classes, deep_supervision,
-                p, aux, mutable, image, target, True,
-            ),
-            has_aux=True,
-        )
-        (_, (metrics, updates)), grads = grad_fn(state.params)
+        if accum_steps > 1:
+            if image.shape[0] % accum_steps:
+                raise ValueError(
+                    f"batch {image.shape[0]} not divisible by accum_steps={accum_steps}"
+                )
+            # interleaved split (microbatch j = rows j, k+j, 2k+j, ...): each
+            # device's contiguous shard contributes equally to every
+            # microbatch, so no cross-device resharding is needed
+            image_m = jnp.swapaxes(
+                image.reshape(-1, accum_steps, *image.shape[1:]), 0, 1
+            )
+            target_m = jnp.swapaxes(
+                target.reshape(-1, accum_steps, *target.shape[1:]), 0, 1
+            )
+
+            def micro(aux_c, xt):
+                img, tar = xt
+                g_fn = jax.value_and_grad(
+                    lambda p: _forward_loss(
+                        model, loss_fn, num_classes, deep_supervision,
+                        p, aux_c, mutable, img, tar, True,
+                    ),
+                    has_aux=True,
+                )
+                (_, (m, upd)), g = g_fn(state.params)
+                new_aux = {k: upd.get(k, v) for k, v in aux_c.items()}
+                return new_aux, (g, m)
+
+            updates, (grads_m, metrics_m) = jax.lax.scan(
+                micro, aux, (image_m, target_m)
+            )
+            grads = jax.tree_util.tree_map(lambda g: jnp.mean(g, axis=0), grads_m)
+            metrics = {k: jnp.mean(v) for k, v in metrics_m.items()}
+        else:
+            grad_fn = jax.value_and_grad(
+                lambda p: _forward_loss(
+                    model, loss_fn, num_classes, deep_supervision,
+                    p, aux, mutable, image, target, True,
+                ),
+                has_aux=True,
+            )
+            (_, (metrics, updates)), grads = grad_fn(state.params)
 
         # weight clamp before the update, gradients from unclamped weights
         # (train.py:111-116)

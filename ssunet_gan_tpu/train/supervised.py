@@ -219,9 +219,13 @@ def run_experiment(
     print("=> creating model %s (%d params)" % (config["arch"], count_params(state.params)))
 
     scheduler = build_scheduler(config)
+    # 'accum_steps' splits each batch into k sequentially-scanned microbatches
+    # with one optimizer update — effective batches beyond HBM capacity.
+    accum_steps = int(config.get("accum_steps", 1) or 1)
     train_step = make_train_step(
         model, loss_fn, tx, config["num_classes"], config["deep_supervision"],
         clip=float(config.get("clip", 0.0) or 0.0), param_labels=param_labels,
+        accum_steps=accum_steps,
     )
     eval_step = make_eval_step(
         model, loss_fn, config["num_classes"], config["deep_supervision"]
@@ -229,7 +233,9 @@ def run_experiment(
 
     train_ds, val_ds, test_ds = build_datasets(cfg, synthetic)
     n_data = mesh.shape["data"]
-    batch_size = max(config["batch_size"] // n_data * n_data, n_data)
+    # each microbatch must itself shard over the data axis
+    quantum = n_data * accum_steps
+    batch_size = max(config["batch_size"] // quantum * quantum, quantum)
     num_workers = int(config.get("num_workers", 3))
     train_loader = BatchLoader(train_ds, batch_size, shuffle=True, drop_last=True,
                                num_workers=num_workers)
