@@ -29,7 +29,12 @@ import numpy as np
 from flax import linen as nn
 
 from ssunet_gan_tpu.ops.conv import Conv2d, _bias_init_for_fan, torch_kernel_init
-from ssunet_gan_tpu.ops.spade_kernel import fused_spade_apply, fused_spade_enabled
+from ssunet_gan_tpu.ops.spade_kernel import (
+    conv_apply,
+    fused_spade_enabled,
+    fused_spade_stage,
+    fused_spade_supported,
+)
 
 _CONFIG_RE = re.compile(r"spade(\D+)(\d)x\d")
 _KNOWN_NORMS = ("instance", "syncbatch", "batch")
@@ -68,19 +73,6 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
-def _conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array, pad: int) -> jax.Array:
-    """The exact math of ``Conv2d.__call__`` for a single plain input."""
-    y = jax.lax.conv_general_dilated(
-        x,
-        kernel.astype(x.dtype),
-        window_strides=(1, 1),
-        padding=((pad, pad), (pad, pad)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
-    )
-    return (y + bias.astype(y.dtype)).astype(x.dtype)
-
-
 class SPADE(nn.Module):
     """SPADE(config_text, norm_nc, label_nc, nhidden) (normalization.py:68)."""
 
@@ -98,17 +90,22 @@ class SPADE(nn.Module):
         # Part 1: param-free norm — bypassed by design (normalization.py:110).
         normalized = x
 
-        # Part 2: γ/β conditioned on the (projected) semantic map.
-        segmap = Conv2d(self.label_nc, ks, padding=pw, name="x2map")(segmap)
-        actv = nn.relu(Conv2d(nhidden, ks, padding=pw, name="mlp_shared")(segmap))
+        # Part 2: γ/β conditioned on the (projected) semantic map. Params are
+        # declared Conv2d-identically so both code paths share one checkpoint
+        # format (see _ConvParams).
+        k1, b1 = _ConvParams(self.label_nc, ks, segmap.shape[-1], name="x2map")()
+        k2, b2 = _ConvParams(nhidden, ks, self.label_nc, name="mlp_shared")()
         kg, bg = _ConvParams(self.norm_nc, ks, nhidden, name="mlp_gamma")()
         kb, bb = _ConvParams(self.norm_nc, ks, nhidden, name="mlp_beta")()
 
-        if ks == 3 and fused_spade_enabled():
-            # Pallas block-fused γ/β matmul + modulation (ops/spade_kernel.py):
-            # gamma/beta stay VMEM-resident instead of 4 HBM round trips.
-            return fused_spade_apply(normalized, actv, kg, bg, kb, bb)
+        if segmap is x and fused_spade_enabled() and fused_spade_supported(x, ks):
+            # Self-SPADE (every ss-UNet stage): one Pallas kernel for the
+            # whole stage — seg/actv/γ/β stay VMEM-resident and the narrow
+            # convs run channels-in-sublanes (ops/spade_kernel.py).
+            return fused_spade_stage(x, k1, b1, k2, b2, kg, bg, kb, bb)
 
-        gamma = _conv_apply(actv, kg, bg, pw)
-        beta = _conv_apply(actv, kb, bb, pw)
+        seg = conv_apply(segmap, k1, b1, pw)
+        actv = nn.relu(conv_apply(seg, k2, b2, pw))
+        gamma = conv_apply(actv, kg, bg, pw)
+        beta = conv_apply(actv, kb, bb, pw)
         return normalized * (1 + gamma) + beta

@@ -1,40 +1,56 @@
-"""Pallas block-fused SPADE apply (TPU kernel for the profiled #1 hot spot).
+"""Pallas fused SPADE stage — the flagship's profiled #1 hot spot.
 
-SPADE's semantics (reference: /root/reference/scripts/normalization.py:110-120)
-are ``out = x * (1 + gamma) + beta`` with ``gamma = conv3(actv)`` and
-``beta = conv3(actv)``.  The naive XLA lowering materializes gamma and beta at
-full channel width in HBM (write + read each) and re-reads ``x`` for the
-elementwise pass — measured at ~40% of flagship runtime, HBM-bound
-(BASELINE.md).  ``actv`` however is tiny (``nhidden = C/16`` channels), so the
-TPU-first decomposition is:
+A self-SPADE stage (reference: /root/reference/scripts/normalization.py:94-120
+with ``segmap = x``, as every ss-UNet uses it, archs.py:722) is
 
-1. im2col the 3×3 neighborhood of ``actv`` (9·nh channels — cheap, XLA),
-2. ONE Pallas kernel per pixel tile: a single MXU matmul
-   ``(tile, 9·nh) @ (9·nh, 2C)`` producing gamma|beta in VMEM, immediately
-   consumed by the VPU elementwise ``x*(1+γ)+β`` — gamma/beta never touch HBM.
+    seg  = conv3(x;  K1, b1)          # x2map,      C  → label
+    actv = relu(conv3(seg; K2, b2))   # mlp_shared, label → nh
+    out  = x·(1 + conv3(actv; Kγ,bγ)) + conv3(actv; Kβ,bβ)
 
-HBM traffic per stage drops from ~7 full-width arrays to ~2 (x in, out out)
-plus the 9·nh/16·nh-width im2col. The backward is one fused kernel too:
-``dx = g·(1+γ)`` (γ recomputed on-chip), ``dA9 = [g·x, g] @ Wᵀ``,
-``dW += A9ᵀ @ [g·x, g]``, ``db += Σ [g·x, g]`` — again without materializing
-gamma, beta, or g·x in HBM.
+XLA runs this as 4 convolutions + modulate at ~33 ms for a level-0 flagship
+stage (b=32, 512², C=64): the narrow-output convs (3 and nh=C/16 channels)
+map terribly onto the MXU with channels in lanes, and seg/actv/γ/β all round-
+trip HBM.
 
-Used by :class:`ssunet_gan_tpu.ops.spade.SPADE` when fused mode is on (auto
-on TPU). Runs in Pallas interpret mode on CPU so the parity suite exercises
-the exact kernel code path.
+The TPU-first decomposition here is ONE kernel over (N, H-band) tiles in
+**W-minor orientation** (arrays viewed (N, H, C, W)): channels live in
+sublanes, so a 3-channel conv output wastes 5/8 of a sublane group instead
+of 125/128 of the lanes — ~10× better MXU utilization — and every
+intermediate (seg, actv, γ|β) stays VMEM-resident.  Per tile:
+
+- the H-halo (3 rings for the 3-conv chain) comes from two extra 8-row
+  block views of the same x array with clamped index maps (no overlapping
+  blocks needed), zero-masked at image edges;
+- W-halos are lane shifts with zero edge masking (= conv pad 1);
+- each conv is a batched MXU contraction: x2map as 9 per-tap
+  (label, C)@(C, W) dots, mlp_shared and γ|β as single packed-tap dots
+  ((nh, 9·label) and (2C, 9·nh) contractions);
+- the modulate runs on the VPU and the only HBM traffic is x in, out out.
+
+The (N,H,W,C)→(N,H,C,W) boundary views are plain ``swapaxes``; XLA's layout
+assignment folds them into the neighbouring elementwise fusions (they
+correspond to layout {2,3,1,0}, one of XLA's native choices here).
+
+Backward: the custom VJP differentiates the identical XLA composition
+(``_xla_self_spade``) — training forward gets the kernel, backward matches
+today's XLA cost. A fused backward kernel is a later optimization.
+
+Runs in Pallas interpret mode on CPU so the parity suite exercises the exact
+kernel bodies.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # ---------------------------------------------------------------------------
-# Mode toggle: None = auto (fused on TPU, reference XLA path elsewhere).
+# Mode toggle: None = auto (fused on TPU, XLA path elsewhere).
 # ---------------------------------------------------------------------------
 
 _FUSED: Optional[bool] = None
@@ -49,217 +65,259 @@ def set_fused_spade(enabled: Optional[bool]) -> None:
 def fused_spade_enabled() -> bool:
     if _FUSED is not None:
         return _FUSED
-    # Auto currently OFF: the first-cut kernel (im2col materialized in HBM)
-    # measured 101 vs 143 tiles/s on the flagship — narrow-minor-dim arrays
-    # pay heavy lane padding in HBM. Opt in via set_fused_spade(True) or the
-    # 'fused_spade' config key while the v2 kernel (VMEM-resident actv, no
-    # HBM im2col) is developed.
-    return False
+    return jax.default_backend() == "tpu"
 
 
 def _interpret() -> bool:
-    # Pallas TPU kernels run via the interpreter on non-TPU backends so the
-    # CPU test suite covers the exact kernel bodies.
     return jax.default_backend() != "tpu"
 
 
 # ---------------------------------------------------------------------------
-# Host-side (XLA) helpers around the kernel.
+# Shared conv math (Conv2d.__call__ semantics for a single plain input).
+# ---------------------------------------------------------------------------
+
+
+def conv_apply(x: jax.Array, kernel: jax.Array, bias: jax.Array, pad: int) -> jax.Array:
+    """The exact math of ``ops.conv.Conv2d`` for one NHWC input."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        kernel.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+    )
+    return (y + bias.astype(y.dtype)).astype(x.dtype)
+
+
+def _xla_self_spade(x, k1, b1, k2, b2, kg, bg, kb, bb):
+    """Reference XLA composition of a self-SPADE stage (the oracle the kernel
+    must match, and the function the custom VJP differentiates)."""
+    seg = conv_apply(x, k1, b1, 1)
+    actv = jax.nn.relu(conv_apply(seg, k2, b2, 1))
+    gamma = conv_apply(actv, kg, bg, 1)
+    beta = conv_apply(actv, kb, bb, 1)
+    return x * (1 + gamma) + beta
+
+
+# ---------------------------------------------------------------------------
+# Kernel body.
+# ---------------------------------------------------------------------------
+
+
+def _shift_w(v: jax.Array, dx: int) -> jax.Array:
+    """W-halo tap: position w reads input w+dx-1, zeros at the borders."""
+    if dx == 1:
+        return v
+    zero = jnp.zeros_like(v[..., :1])
+    if dx == 0:
+        return jnp.concatenate([zero, v[..., :-1]], axis=-1)
+    return jnp.concatenate([v[..., 1:], zero], axis=-1)
+
+
+def _dotb(k2d: jax.Array, slab: jax.Array) -> jax.Array:
+    """(M, K) @ (T, K, W) → (T, M, W), f32 accumulation on the MXU.
+
+    Unrolled per-T 2D dots with the SHARED lhs — a batched dot_general would
+    broadcast-materialize T copies of the weight in VMEM (9.5 MB for the
+    C=512 level), which blows the scoped-VMEM budget.
+    """
+    outs = [
+        jax.lax.dot_general(
+            k2d, slab[t], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for t in range(slab.shape[0])
+    ]
+    return jnp.stack(outs, axis=0)
+
+
+def _tap_cat(src: jax.Array, th: int) -> jax.Array:
+    """Stack the 9 (dy,dx) taps of ``src`` (T+2, F, W) along the channel
+    (sublane) axis → (T, 9·F, W), tap-major to match packed kernels."""
+    taps = []
+    for dy in range(3):
+        slab = src[dy : dy + th]
+        for dx in range(3):
+            taps.append(_shift_w(slab, dx))
+    return jnp.concatenate(taps, axis=1)
+
+
+def _zero_outside_image(v: jax.Array, row0, h_img: int) -> jax.Array:
+    """Zero slab rows whose global row index falls outside [0, h_img).
+
+    ``row0`` is the global row of slab row 0 (can be negative at the top
+    band); only edge bands have out-of-image rows.
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0) + row0
+    return jnp.where(
+        jnp.logical_and(rows >= 0, rows < h_img), v, jnp.zeros_like(v)
+    )
+
+
+def _stage_kernel(xc_ref, xp_ref, xn_ref, k1_ref, b1_ref, k2_ref, k3_ref,
+                  o_ref):
+    """Biases ride as an appended ones-channel on the matmul contraction
+    (K2/K3 arrive with the bias column packed; b1 is concatenated onto the
+    first x2map tap) — the same conv+bias numerics, and no (f,1)-shaped
+    broadcasts, which crash Mosaic's vector layout pass."""
+    i = pl.program_id(1)
+    n_bands = pl.num_programs(1)
+    th, c, w = o_ref.shape[0], o_ref.shape[1], o_ref.shape[2]
+    dtype = o_ref.dtype
+
+    # H halo: last 3 rows of the previous 8-row view / first 3 of the next,
+    # zeroed at the image's top/bottom edge (conv pad 1 × 3 convs).
+    top = xp_ref[5:8]
+    bot = xn_ref[0:3]
+    top = jnp.where(i == 0, jnp.zeros_like(top), top)
+    bot = jnp.where(i == n_bands - 1, jnp.zeros_like(bot), bot)
+    xh = jnp.concatenate([top, xc_ref[:], bot], axis=0)  # (TH+6, C, W)
+
+    # x2map: per-tap (label, C) @ (C, ·) contractions, f32 accumulation.
+    ones_seg = jnp.ones((th + 4, 1, w), dtype)
+    seg = None
+    for dy in range(3):
+        slab = xh[dy : dy + th + 4]
+        for dx in range(3):
+            kt = k1_ref[:, (dy * 3 + dx) * c : (dy * 3 + dx + 1) * c]
+            sl = _shift_w(slab, dx)
+            if dy == 0 and dx == 0:  # bias rides the first tap
+                kt = jnp.concatenate([kt, b1_ref[:].astype(kt.dtype)], axis=1)
+                sl = jnp.concatenate([sl, ones_seg], axis=1)
+            p = _dotb(kt, sl)
+            seg = p if seg is None else seg + p
+    seg = seg.astype(dtype)  # (TH+4, lab, W)
+    # each conv in the chain zero-pads ITS OWN input at the image border:
+    # seg rows outside [0, H) must be zeros, not extrapolated values
+    seg = _zero_outside_image(seg, i * th - 2, n_bands * th)
+
+    # mlp_shared: packed 9·label(+bias) contraction + ReLU.
+    s9 = _tap_cat(seg, th + 2)  # (TH+2, 9·lab, W)
+    s9 = jnp.concatenate([s9, jnp.ones((th + 2, 1, w), dtype)], axis=1)
+    actv = jax.nn.relu(_dotb(k2_ref[:], s9)).astype(dtype)  # (TH+2, nh, W)
+    actv = _zero_outside_image(actv, i * th - 1, n_bands * th)
+
+    # gamma|beta: packed 9·nh(+bias) contraction; modulate on the VPU.
+    a9 = _tap_cat(actv, th)  # (TH, 9·nh, W)
+    a9 = jnp.concatenate([a9, jnp.ones((th, 1, w), dtype)], axis=1)
+    # modulate in the activation dtype (the XLA path's bf16 semantics; f32
+    # in f32 mode) — f32 intermediates here would double VMEM pressure
+    gb = _dotb(k3_ref[:], a9).astype(dtype)  # (TH, 2C, W)
+    xc = xh[3 : 3 + th]
+    out = xc * (jnp.ones((), dtype) + gb[:, :c]) + gb[:, c:]
+    o_ref[:] = out.astype(dtype)
+
+
+def _stage_core(xv, K1, b1, K2, K3):
+    n, h, c, w = xv.shape
+    th = 16 if h % 16 == 0 else 8
+    h8 = h // 8
+    r = th // 8
+    vmem = pl.BlockSpec
+    grid = (n, h // th)
+
+    return pl.pallas_call(
+        _stage_kernel,
+        grid=grid,
+        in_specs=[
+            vmem((None, th, c, w), lambda ni, hi: (ni, hi, 0, 0), memory_space=pltpu.VMEM),
+            vmem(
+                (None, 8, c, w),
+                lambda ni, hi: (ni, jnp.maximum(hi * r - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            vmem(
+                (None, 8, c, w),
+                lambda ni, hi: (ni, jnp.minimum((hi + 1) * r, h8 - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            vmem(K1.shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM),
+            vmem(b1.shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM),
+            vmem(K2.shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM),
+            vmem(K3.shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=vmem((None, th, c, w), lambda ni, hi: (ni, hi, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xv.shape, xv.dtype),
+        interpret=_interpret(),
+    )(xv, xv, xv, K1, b1, K2, K3)
+
+
+# ---------------------------------------------------------------------------
+# Public entry with custom VJP.
+# ---------------------------------------------------------------------------
+
+
+def fused_spade_supported(x: jax.Array, ks: int) -> bool:
+    """Static gate: 3×3 kernels, H a multiple of 8, and on real TPUs W ≥ 128.
+
+    Levels with W < 128 waste 128/W of every VMEM lane (the kernel's W-minor
+    blocks) and blow the scoped-VMEM budget at C=512 — and those deep levels
+    are <10% of total SPADE cost, so they stay on the XLA path. Interpret
+    mode (CPU tests) has no such limit and keeps small shapes for coverage.
+    """
+    h, w = x.shape[1], x.shape[2]
+    min_w = 8 if _interpret() else 128
+    return ks == 3 and h % 8 == 0 and h >= 8 and w >= min_w
+
+
+@jax.custom_vjp
+def fused_spade_stage(x, k1, b1, k2, b2, kg, bg, kb, bb):
+    """Self-SPADE stage ``x → x·(1+γ(x)) + β(x)`` as one Pallas kernel.
+
+    Exact math of normalization.py:94-120 with ``segmap = x``; weights are
+    the module's HWIO conv params. Matmul accumulation is f32; intermediate
+    seg/actv round to the activation dtype exactly like the XLA conv chain.
+    """
+    return _stage_fwd_impl(x, k1, b1, k2, b2, kg, bg, kb, bb)
+
+
+def _stage_fwd_impl(x, k1, b1, k2, b2, kg, bg, kb, bb):
+    n, h, w, c = x.shape
+    lab = k1.shape[-1]
+    nh = k2.shape[-1]
+    xv = jnp.swapaxes(x, 2, 3)  # (N, H, C, W) — folds into neighbours' layouts
+    K1 = k1.reshape(9 * c, lab).T.astype(x.dtype)  # (lab, 9C), tap-major cols
+    # biases ride as an extra contraction column (see _stage_kernel)
+    K2 = jnp.concatenate(
+        [k2.reshape(9 * lab, nh).T, b2.reshape(nh, 1)], axis=1
+    ).astype(x.dtype)  # (nh, 9·lab+1)
+    K3 = jnp.concatenate(
+        [
+            jnp.concatenate([kg.reshape(9 * nh, c).T, bg.reshape(c, 1)], axis=1),
+            jnp.concatenate([kb.reshape(9 * nh, c).T, bb.reshape(c, 1)], axis=1),
+        ],
+        axis=0,
+    ).astype(x.dtype)  # (2C, 9·nh+1)
+    outv = _stage_core(xv, K1, b1.reshape(lab, 1).astype(x.dtype), K2, K3)
+    return jnp.swapaxes(outv, 2, 3)
+
+
+def _stage_fwd_rule(x, k1, b1, k2, b2, kg, bg, kb, bb):
+    out = _stage_fwd_impl(x, k1, b1, k2, b2, kg, bg, kb, bb)
+    return out, (x, k1, b1, k2, b2, kg, bg, kb, bb)
+
+
+def _stage_bwd_rule(res, g):
+    # Differentiate the identical XLA composition — numerically the same
+    # stage, autodiffed. Forward-in-training uses the kernel; the backward
+    # pays one XLA replay (same as the pre-kernel cost structure).
+    _, vjp = jax.vjp(_xla_self_spade, *res)
+    return vjp(g)
+
+
+fused_spade_stage.defvjp(_stage_fwd_rule, _stage_bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# Reference helpers kept for tests / tooling.
 # ---------------------------------------------------------------------------
 
 
 def im2col_3x3(a: jax.Array) -> jax.Array:
     """(N,H,W,nh) → (N,H,W,9·nh): 3×3 neighborhoods, zero-padded border.
-
-    Tap order is (dy, dx) row-major to match an HWIO kernel reshaped to
-    (9·nh, C) — column ``t·nh + i`` holds tap ``t = dy*3+dx`` of channel i.
-    """
+    Tap order matches an HWIO kernel reshaped to (9·nh, C)."""
     n, h, w, _ = a.shape
     ap = jnp.pad(a, ((0, 0), (1, 1), (1, 1), (0, 0)))
     cols = [ap[:, dy : dy + h, dx : dx + w, :] for dy in range(3) for dx in range(3)]
     return jnp.concatenate(cols, axis=-1)
-
-
-def pack_gamma_beta(
-    kg: jax.Array, bg: jax.Array, kb: jax.Array, bb: jax.Array
-) -> Tuple[jax.Array, jax.Array]:
-    """Two HWIO (3,3,nh,C) kernels (+biases) → one (9·nh, 2C) matmul weight."""
-    nh, c = kg.shape[2], kg.shape[3]
-    w = jnp.concatenate([kg.reshape(9 * nh, c), kb.reshape(9 * nh, c)], axis=1)
-    b = jnp.concatenate([bg, bb], axis=0)
-    return w, b
-
-
-def _pick_tile(p: int, c: int, k: int) -> int:
-    """Pixel-tile size: VMEM-bounded (x, a9, out, gamma|beta live per tile)."""
-    # ~4 bytes/pixel/channel of live f32 intermediates across ~5 buffers.
-    budget = 6 * 1024 * 1024
-    per_pixel = 4 * (3 * c + 2 * k) + 2 * (2 * c + k)
-    pt = budget // max(per_pixel, 1)
-    pt = max(128, min(2048, (pt // 128) * 128))
-    return min(pt, _round_up(p, 128))
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
-
-
-def _pad_rows(arr: jax.Array, rows: int) -> jax.Array:
-    if arr.shape[0] == rows:
-        return arr
-    return jnp.pad(arr, ((0, rows - arr.shape[0]),) + ((0, 0),) * (arr.ndim - 1))
-
-
-# ---------------------------------------------------------------------------
-# Kernels.
-# ---------------------------------------------------------------------------
-
-
-def _fwd_kernel(x_ref, a9_ref, w_ref, b_ref, o_ref):
-    c = x_ref.shape[-1]
-    gb = jnp.dot(a9_ref[:], w_ref[:], preferred_element_type=jnp.float32)
-    gb = gb + b_ref[:].astype(jnp.float32)
-    x = x_ref[:].astype(jnp.float32)
-    out = x * (1.0 + gb[:, :c]) + gb[:, c:]
-    o_ref[:] = out.astype(o_ref.dtype)
-
-
-def _bwd_kernel(g_ref, x_ref, a9_ref, w_ref, b_ref, dx_ref, da9_ref, dw_ref, db_ref):
-    i = pl.program_id(0)
-    c = x_ref.shape[-1]
-    g = g_ref[:].astype(jnp.float32)
-    x = x_ref[:].astype(jnp.float32)
-    a9 = a9_ref[:]
-    w = w_ref[:]
-
-    gamma = (
-        jnp.dot(a9, w[:, :c], preferred_element_type=jnp.float32)
-        + b_ref[:, :c].astype(jnp.float32)
-    )
-    dx_ref[:] = (g * (1.0 + gamma)).astype(dx_ref.dtype)
-
-    u = jnp.concatenate([g * x, g], axis=1)  # (pt, 2C), f32
-    u_lo = u.astype(w.dtype)
-    # dA9 = u @ Wᵀ — contract the 2C axis of both operands.
-    da9 = jax.lax.dot_general(
-        u_lo, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    da9_ref[:] = da9.astype(da9_ref.dtype)
-
-    # dW = A9ᵀ @ u, db = Σ_pixels u — accumulated across the pixel grid
-    # (sequential on TPU; @pl.when zero-init on the first step).
-    dw_t = jax.lax.dot_general(
-        a9, u_lo, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    db_t = jnp.sum(u, axis=0, keepdims=True)
-
-    @pl.when(i == 0)
-    def _():
-        dw_ref[:] = jnp.zeros_like(dw_ref)
-        db_ref[:] = jnp.zeros_like(db_ref)
-
-    dw_ref[:] += dw_t
-    db_ref[:] += db_t
-
-
-# ---------------------------------------------------------------------------
-# custom_vjp core on flattened (pixels, channels) arrays.
-# ---------------------------------------------------------------------------
-
-
-@jax.custom_vjp
-def _spade_apply_2d(x2, a92, w, b2):
-    return _fwd_call(x2, a92, w, b2)
-
-
-def _fwd_call(x2, a92, w, b2):
-    p, c = x2.shape
-    k = a92.shape[1]
-    pt = _pick_tile(p, c, k)
-    pp = _round_up(p, pt)
-    out = pl.pallas_call(
-        _fwd_kernel,
-        grid=(pp // pt,),
-        in_specs=[
-            pl.BlockSpec((pt, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((pt, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((pt, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((pp, c), x2.dtype),
-        interpret=_interpret(),
-    )(_pad_rows(x2, pp), _pad_rows(a92, pp), w, b2)
-    return out[:p] if pp != p else out
-
-
-def _fwd_rule(x2, a92, w, b2):
-    return _fwd_call(x2, a92, w, b2), (x2, a92, w, b2)
-
-
-def _bwd_rule(res, g):
-    x2, a92, w, b2 = res
-    p, c = x2.shape
-    k = a92.shape[1]
-    pt = _pick_tile(p, c, k)
-    pp = _round_up(p, pt)
-    dx, da9, dw, db = pl.pallas_call(
-        _bwd_kernel,
-        grid=(pp // pt,),
-        in_specs=[
-            pl.BlockSpec((pt, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((pt, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((pt, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((pt, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((pt, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((pp, c), x2.dtype),
-            jax.ShapeDtypeStruct((pp, k), a92.dtype),
-            jax.ShapeDtypeStruct((k, 2 * c), jnp.float32),
-            jax.ShapeDtypeStruct((1, 2 * c), jnp.float32),
-        ),
-        interpret=_interpret(),
-    )(_pad_rows(g, pp), _pad_rows(x2, pp), _pad_rows(a92, pp), w, b2)
-    if pp != p:
-        dx, da9 = dx[:p], da9[:p]
-    return dx, da9, dw.astype(w.dtype), db.astype(b2.dtype)
-
-
-_spade_apply_2d.defvjp(_fwd_rule, _bwd_rule)
-
-
-# ---------------------------------------------------------------------------
-# Public entry: NHWC tensors + the two HWIO conv params.
-# ---------------------------------------------------------------------------
-
-
-def fused_spade_apply(
-    x: jax.Array,
-    actv: jax.Array,
-    kg: jax.Array,
-    bg: jax.Array,
-    kb: jax.Array,
-    bb: jax.Array,
-) -> jax.Array:
-    """``x*(1 + conv3(actv; kg,bg)) + conv3(actv; kb,bb)`` as one fused kernel.
-
-    Exact math of the reference's mlp_gamma/mlp_beta convs + modulation
-    (normalization.py:114-120) with gamma/beta kept VMEM-resident. Matmul
-    accumulation is f32 regardless of activation dtype (matches Conv2d's
-    ``preferred_element_type`` in f32; slightly more accurate than the XLA
-    path under bf16, where the reference rounds gamma/beta to bf16 first).
-    """
-    n, h, wd, c = x.shape
-    nh = actv.shape[-1]
-    a9 = im2col_3x3(actv).reshape(n * h * wd, 9 * nh)
-    w2, b2 = pack_gamma_beta(kg, bg, kb, bb)
-    w2 = w2.astype(x.dtype)
-    out2 = _spade_apply_2d(x.reshape(n * h * wd, c), a9, w2, b2.reshape(1, 2 * c))
-    return out2.reshape(n, h, wd, c)

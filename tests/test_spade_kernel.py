@@ -1,9 +1,9 @@
-"""Parity tests for the Pallas block-fused SPADE kernel.
+"""Parity tests for the Pallas fused SPADE stage kernel.
 
-The fused path must be numerically interchangeable with the XLA SPADE
-(`ops/spade.py` unfused branch), which itself is parity-tested against the
-torch reference (tests/test_models.py). On CPU the kernels run in Pallas
-interpret mode, so these tests exercise the exact kernel bodies.
+The fused self-SPADE stage must be numerically interchangeable with the XLA
+composition (`_xla_self_spade`), which mirrors the torch reference that
+tests/test_models.py validates. On CPU the kernel runs in Pallas interpret
+mode, so these tests exercise the exact kernel body.
 """
 
 import jax
@@ -13,10 +13,13 @@ import pytest
 
 from ssunet_gan_tpu.ops.spade import SPADE
 from ssunet_gan_tpu.ops.spade_kernel import (
-    fused_spade_apply,
+    _xla_self_spade,
+    fused_spade_stage,
     im2col_3x3,
     set_fused_spade,
 )
+
+
 def _init(mod, key, *args):
     return jax.jit(lambda k: mod.init(k, *args))(key)
 
@@ -27,68 +30,62 @@ def _restore_flag():
     set_fused_spade(None)
 
 
-def _conv3(x, k, b):
-    y = jax.lax.conv_general_dilated(
-        x, k, (1, 1), ((1, 1), (1, 1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    )
-    return y + b
-
-
-def _make_case(rng, n, h, w, c, nh, dtype=jnp.float32):
+def _make_case(rng, n, h, w, c, lab, nh, dtype=jnp.float32):
     x = jnp.asarray(rng.normal(size=(n, h, w, c)), dtype)
-    a = jnp.asarray(rng.normal(size=(n, h, w, nh)), dtype)
+    k1 = jnp.asarray(rng.normal(size=(3, 3, c, lab)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(lab,)) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.normal(size=(3, 3, lab, nh)) * 0.2, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(nh,)) * 0.1, jnp.float32)
     kg = jnp.asarray(rng.normal(size=(3, 3, nh, c)) * 0.2, jnp.float32)
     bg = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
     kb = jnp.asarray(rng.normal(size=(3, 3, nh, c)) * 0.2, jnp.float32)
     bb = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
-    return x, a, kg, bg, kb, bb
-
-
-def _reference(x, a, kg, bg, kb, bb):
-    gamma = _conv3(a, kg, bg)
-    beta = _conv3(a, kb, bb)
-    return x * (1 + gamma) + beta
+    return x, k1, b1, k2, b2, kg, bg, kb, bb
 
 
 @pytest.mark.parametrize(
-    "n,h,w,c,nh",
-    [(2, 8, 8, 16, 4), (1, 16, 16, 64, 4), (2, 4, 4, 32, 8), (1, 8, 8, 48, 24)],
+    "n,h,w,c,lab,nh",
+    [
+        (2, 8, 8, 16, 3, 4),     # tiny, single band
+        (1, 16, 16, 64, 3, 4),   # flagship level-0 ratios, TH=16 path
+        (2, 24, 16, 32, 3, 8),   # H%16!=0 → TH=8 path, several bands
+        (1, 8, 32, 48, 2, 24),   # non-3 label count, wide nh
+    ],
 )
-def test_forward_parity(rng, n, h, w, c, nh):
-    case = _make_case(rng, n, h, w, c, nh)
-    got = fused_spade_apply(*case)
-    want = _reference(*case)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+def test_stage_forward_parity(rng, n, h, w, c, lab, nh):
+    case = _make_case(rng, n, h, w, c, lab, nh)
+    got = fused_spade_stage(*case)
+    want = _xla_self_spade(*case)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
 
 
-def test_grad_parity(rng):
-    case = _make_case(rng, 2, 8, 8, 16, 4)
-    cot = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+def test_stage_grad_parity(rng):
+    case = _make_case(rng, 2, 16, 8, 16, 3, 4)
+    cot = jnp.asarray(rng.normal(size=(2, 16, 8, 16)), jnp.float32)
 
     def loss_fused(*args):
-        return jnp.sum(fused_spade_apply(*args) * cot)
+        return jnp.sum(fused_spade_stage(*args) * cot)
 
     def loss_ref(*args):
-        return jnp.sum(_reference(*args) * cot)
+        return jnp.sum(_xla_self_spade(*args) * cot)
 
-    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4, 5))(*case)
-    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(*case)
-    for gf, gr, name in zip(g_fused, g_ref, ["x", "a", "kg", "bg", "kb", "bb"]):
+    argnums = tuple(range(9))
+    g_fused = jax.grad(loss_fused, argnums=argnums)(*case)
+    g_ref = jax.grad(loss_ref, argnums=argnums)(*case)
+    names = ["x", "k1", "b1", "k2", "b2", "kg", "bg", "kb", "bb"]
+    for gf, gr, name in zip(g_fused, g_ref, names):
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4, err_msg=name
         )
 
 
-def test_bf16_smoke(rng):
-    case = _make_case(rng, 1, 8, 8, 32, 4, dtype=jnp.bfloat16)
-    got = fused_spade_apply(*case).astype(jnp.float32)
-    want = _reference(
-        case[0].astype(jnp.float32), case[1].astype(jnp.float32), *case[2:]
+def test_stage_bf16_smoke(rng):
+    case = _make_case(rng, 1, 8, 16, 32, 3, 4, dtype=jnp.bfloat16)
+    got = np.asarray(fused_spade_stage(*case), np.float32)
+    want = np.asarray(
+        _xla_self_spade(case[0].astype(jnp.float32), *case[1:]), np.float32
     )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=0.05, atol=0.1)
-    assert got.dtype == jnp.float32  # cast above; kernel output was bf16
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.15)
 
 
 def test_im2col_matches_conv(rng):
@@ -123,4 +120,19 @@ def test_spade_module_fused_vs_unfused(rng):
     )
     for a, b in zip(jax.tree_util.tree_leaves(variables), jax.tree_util.tree_leaves(variables2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
+
+
+def test_spade_module_general_segmap_unaffected(rng):
+    """Non-self SPADE (segmap != x, e.g. SPADEResnetBlock) must use the XLA
+    path regardless of the fused flag and stay numerically identical."""
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 16)), jnp.float32)
+    seg = jnp.asarray(rng.normal(size=(1, 8, 8, 5)), jnp.float32)
+    mod = SPADE("spadebatch3x3", 16, 3, 4.0)
+    variables = _init(mod, jax.random.PRNGKey(0), x, seg)
+
+    set_fused_spade(False)
+    want = mod.apply(variables, x, seg)
+    set_fused_spade(True)
+    got = mod.apply(variables, x, seg)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
