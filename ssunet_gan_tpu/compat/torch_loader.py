@@ -58,6 +58,16 @@ RENAME_RULES: List[Tuple[str, str]] = [
     (r"(^|\.)subpixel_convolutional_blocks\.(\d+)\.", r"\1subpix\2."),
     # EfficientNet ModuleList indices (efficientnet_pytorch/model.py:181-195)
     (r"(^|\.)_blocks\.(\d+)\.", r"\1_blocks_\2."),
+    # AttentiveCNN's ResNet-101 trunk (archs.py:446-449): Sequential of
+    # resnet101.children()[:-2] → named flax modules (models/resnet.py)
+    (r"(^|\.)resnet_conv\.0\.", r"\1resnet_conv.conv1."),
+    (r"(^|\.)resnet_conv\.1\.", r"\1resnet_conv.bn1."),
+    (r"(^|\.)resnet_conv\.4\.(\d+)\.", r"\1resnet_conv.layer1_\2."),
+    (r"(^|\.)resnet_conv\.5\.(\d+)\.", r"\1resnet_conv.layer2_\2."),
+    (r"(^|\.)resnet_conv\.6\.(\d+)\.", r"\1resnet_conv.layer3_\2."),
+    (r"(^|\.)resnet_conv\.7\.(\d+)\.", r"\1resnet_conv.layer4_\2."),
+    (r"(^|\.)downsample\.0\.", r"\1downsample_conv."),
+    (r"(^|\.)downsample\.1\.", r"\1downsample_bn."),
     # AttUNet / UNet_ori capitalized attributes (archs.py:276-301, 941-961)
     (r"(^|\.)Conv_1x1\.", r"\1final."),
     (r"(^|\.)Conv(\d)\.", r"\1conv\2."),

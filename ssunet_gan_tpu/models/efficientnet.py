@@ -272,20 +272,37 @@ F_CHANNELS = {
 
 
 class AttentiveCNN(nn.Module):
-    """Latent EfficientNet encoder → 1024-ch feature map (archs.py:409-466).
+    """Latent encoder → 1024-ch feature map (archs.py:409-466).
 
-    Images are bilinearly resized to the variant's native resolution
-    (archs.py:459, ``F.interpolate`` align_corners=False), features
-    extracted, then projected through a bias-free 1×1 ``conv_a``.  The
-    reference's ResNet-101 branch depends on torchvision pretrained weights
-    (absent here); EfficientNet is the supported encoder.
+    ``eff_flag=True`` (default): images are bilinearly resized to the
+    EfficientNet variant's native resolution (archs.py:459,
+    ``F.interpolate`` align_corners=False), features extracted, then
+    projected through a bias-free 1×1 ``conv_a``.
+
+    ``eff_flag=False``: the ResNet-101 backend (archs.py:443-449) — resize
+    to 224, run the torchvision-style conv trunk (:class:`ResNet101Trunk`),
+    project 2048→1024.  Two reference bugs fixed here and documented: its
+    resnet branch never defines ``conv_a`` yet ``forward`` calls it
+    unconditionally (archs.py:442/465 — AttributeError as shipped), and
+    ``self.f_channel`` stays at the eff default 1408 while ResNet-101
+    produces 2048 channels.  We define conv_a as 2048→``eff_channel`` per
+    the evident intent so the downstream 1024-ch decoder contract holds.
     """
 
     eff_model_name: str = "efficientnet-b2"
     eff_channel: int = 1024
+    eff_flag: bool = True
 
     @nn.compact
     def __call__(self, images: jax.Array, train: bool = True) -> jax.Array:
+        if not self.eff_flag:
+            from ssunet_gan_tpu.models.resnet import ResNet101Trunk
+            from ssunet_gan_tpu.ops.conv import Conv2d
+
+            x = resize_bilinear(images, 224, 224, align_corners=False)
+            x = ResNet101Trunk(name="resnet_conv")(x, train)
+            return Conv2d(self.eff_channel, 1, use_bias=False, name="conv_a")(x)
+
         size = SCALING_PARAMS[self.eff_model_name][2]
         x = resize_bilinear(images, size, size, align_corners=False)
         x = EfficientNet(self.eff_model_name, features_only=True, name="eff_conv")(x, train)

@@ -29,9 +29,10 @@ class EffNetUNet(nn.Module):
     input_channels: int = 3
     deep_supervision: bool = False
     eff_model_name: str = "efficientnet-b2"
+    eff_flag: bool = True  # False → ResNet-101 backend (archs.py:443-449)
 
     def setup(self):
-        self.encoder = AttentiveCNN(self.eff_model_name)
+        self.encoder = AttentiveCNN(self.eff_model_name, eff_flag=self.eff_flag)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
