@@ -140,15 +140,23 @@ class HueSaturationValue(Transform):
         hs = rng.uniform(-self.hue, self.hue)
         ss = rng.uniform(-self.sat, self.sat)
         vs = rng.uniform(-self.val, self.val)
-        hsv = cv2.cvtColor(image, cv2.COLOR_BGR2HSV)
+        # albumentations F.shift_hsv converts with COLOR_RGB2HSV regardless of
+        # the actual channel order — the reference feeds cv2-loaded BGR
+        # through it, so reproducing its observable behaviour means using the
+        # RGB conversion here too (not BGR2HSV).
+        hsv = cv2.cvtColor(image, cv2.COLOR_RGB2HSV)
         h, s, v = cv2.split(hsv)
-        # hue wraps mod 180 (cv2 uint8 hue range)
-        h = ((h.astype(np.int16) + int(hs)) % 180).astype(np.uint8)
-        lut = np.clip(np.arange(256, dtype=np.int16) + int(ss), 0, 255).astype(np.uint8)
+        # float shifts truncate AFTER the mod/clip, exactly like
+        # albumentations' LUT construction (np.mod(...)/np.clip(...) then
+        # .astype(uint8)) — int(shift)-first is off by one for negative
+        # fractional shifts.
+        lut = np.mod(np.arange(256, dtype=np.float64) + hs, 180).astype(np.uint8)
+        h = cv2.LUT(h, lut)
+        lut = np.clip(np.arange(256, dtype=np.float64) + ss, 0, 255).astype(np.uint8)
         s = cv2.LUT(s, lut)
-        lut = np.clip(np.arange(256, dtype=np.int16) + int(vs), 0, 255).astype(np.uint8)
+        lut = np.clip(np.arange(256, dtype=np.float64) + vs, 0, 255).astype(np.uint8)
         v = cv2.LUT(v, lut)
-        return cv2.cvtColor(cv2.merge((h, s, v)), cv2.COLOR_HSV2BGR), mask
+        return cv2.cvtColor(cv2.merge((h, s, v)), cv2.COLOR_HSV2RGB), mask
 
 
 class RandomBrightnessContrast(Transform):
