@@ -6,8 +6,13 @@ a batch=1 Python loop (aerial_image_segmentation_api.py:386-390) — SURVEY.md
 flagship forward.  North star (BASELINE.json): ≥ 2,000 512×512 tiles/sec
 per chip on the flagship ``UNet_R_SS_v2``.
 
-Prints ONE JSON line:
-    {"metric": "tiles_per_sec_512", "value": N, "unit": "tiles/s", "vs_baseline": N/2000}
+Prints ONE JSON line; the primary metric is raw forward throughput, and the
+same object carries an END-TO-END whole-scene measurement (host patching +
+preprocessing → chunked forward → device-resident merge, as the reference's
+api:336-411 capability) so the merge/preprocess path can't silently rot:
+
+    {"metric": "tiles_per_sec_512", "value": N, "unit": "tiles/s",
+     "vs_baseline": N/2000, "scene_e2e_s": S, "scene_px_per_sec": P}
 """
 
 from __future__ import annotations
@@ -54,6 +59,8 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     tiles_per_sec = batch * iters / dt
+
+    scene_s, scene_px = bench_scene(model, variables, on_tpu)
     print(
         json.dumps(
             {
@@ -61,9 +68,52 @@ def main() -> None:
                 "value": round(tiles_per_sec, 2),
                 "unit": "tiles/s",
                 "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 4),
+                "scene_e2e_s": round(scene_s, 3),
+                "scene_px_per_sec": round(scene_px, 0),
             }
         )
     )
+
+
+def bench_scene(model, variables, on_tpu):
+    """End-to-end whole-scene inference: patch+preprocess (host) → chunked
+    jitted forward → device scatter-add merge. Returns (seconds, pixels/s)
+    for a warm scene (compile + weight transfer amortized, like a multi-
+    scene val_patch run). D2H of the merged canvas is excluded — the axon
+    dev tunnel's ~3 MB/s would swamp it; on a real host it's DMA."""
+    import jax
+    import numpy as np
+
+    from ssunet_gan_tpu.data.tiling import grid_coords, merge_patches_device
+    from ssunet_gan_tpu.infer.api import _chunked_forward, patch_and_preprocess
+
+    side = 4096 if on_tpu else 256
+    config = {
+        "patch_size": 1024 if on_tpu else 64,
+        "input_h": 512 if on_tpu else 64,
+        "input_w": 512 if on_tpu else 64,
+        "patch_overlap": 0.5,
+        "num_classes": 3,
+        "deep_supervision": False,
+    }
+    rng = np.random.default_rng(1)
+    scene = rng.integers(0, 255, (side, side, 3), np.uint8)
+
+    def run_once():
+        t0 = time.perf_counter()
+        patches, _ = patch_and_preprocess(scene, scene, config)
+        coords = grid_coords(side, side, config["patch_size"], config["patch_overlap"])
+        probs = _chunked_forward(model, variables, patches, False)
+        merged = merge_patches_device(
+            probs, coords, side, side, config["patch_size"],
+            config["num_classes"], overlap=config["patch_overlap"],
+        )
+        jax.block_until_ready(merged)
+        return time.perf_counter() - t0
+
+    run_once()  # cold: compiles + caches the forward
+    dt = run_once()
+    return dt, side * side / dt
 
 
 if __name__ == "__main__":

@@ -131,28 +131,18 @@ def effective_patch_size(h: int, w: int, p_size: int) -> int:
     return eff
 
 
-def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool):
-    """Patch a scene and preprocess tiles for the model (api:336-373).
+def patch_and_preprocess(img_input: np.ndarray, mask_input: np.ndarray, config: Dict):
+    """Patch an in-memory scene and preprocess tiles (api:349-373).
 
-    Returns (img_input, img_patch_set NHWC float32, mask_patch_set).
+    Returns (img_patch_set NHWC float32, mask_patch_set).
     """
-    p_size = config["patch_size"]
+    p_size = effective_patch_size(
+        img_input.shape[0], img_input.shape[1], config["patch_size"]
+    )
     img_size = config["input_w"]
-    patch_overlap = config["patch_overlap"]
-
-    img_input = cv2.imread(img_path)
-    if img_input is None:
-        raise FileNotFoundError(img_path)
-    if gt_mask_flag:
-        label_path = img_path.replace("image", "labels")
-        mask_input = cv2.imread(label_path)
-        if mask_input is None:
-            raise FileNotFoundError(label_path)
-    else:
-        mask_input = img_input
-
-    p_size = effective_patch_size(img_input.shape[0], img_input.shape[1], p_size)
-    coords = grid_coords(img_input.shape[0], img_input.shape[1], p_size, patch_overlap)
+    coords = grid_coords(
+        img_input.shape[0], img_input.shape[1], p_size, config["patch_overlap"]
+    )
     image_patches = extract_patches(img_input, coords, p_size)
     mask_patches = extract_patches(mask_input, coords, p_size)
 
@@ -170,6 +160,26 @@ def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool):
 
     with ThreadPoolExecutor(max_workers=min(8, max(len(coords), 1))) as pool:
         list(pool.map(prep, range(len(coords))))
+    return out, mask_patches
+
+
+def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool):
+    """Patch a scene file and preprocess tiles for the model (api:336-373).
+
+    Returns (img_input, img_patch_set NHWC float32, mask_patch_set).
+    """
+    img_input = cv2.imread(img_path)
+    if img_input is None:
+        raise FileNotFoundError(img_path)
+    if gt_mask_flag:
+        label_path = img_path.replace("image", "labels")
+        mask_input = cv2.imread(label_path)
+        if mask_input is None:
+            raise FileNotFoundError(label_path)
+    else:
+        mask_input = img_input
+
+    out, mask_patches = patch_and_preprocess(img_input, mask_input, config)
     return img_input, out, mask_patches
 
 

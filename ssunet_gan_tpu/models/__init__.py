@@ -7,6 +7,7 @@ exported names (archs.py:8) plus the non-exported ``ProgUNet``.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict
 
 from ssunet_gan_tpu.models.effnet_unet import EffNetUNet
@@ -28,6 +29,11 @@ ARCH_REGISTRY: Dict[str, Any] = {
     # the reference's latent AttentiveCNN/effnet path made runnable
     # (train.py:274-301 'effnet' in arch branch; archs.py:409-466)
     "effnet_unet": EffNetUNet,
+    # TPU-oriented opt-in: 64-ch levels padded to 128 for full MXU lanes
+    # (not reference-checkpoint-compatible; see UNetRSSv2 docstring)
+    "UNet_R_SS_v2_wide": functools.partial(
+        UNetRSSv2, filters=(128, 128, 256, 384, 512, 768)
+    ),
 }
 
 ARCH_NAMES = list(ARCH_REGISTRY)[:8]  # the reference's exported set

@@ -177,15 +177,22 @@ class UNetRSSv2(nn.Module):
 
     Pool indices are carried as window-local 2-bit codes
     (see ops/pool.py) rather than torch's flat HBM indices.
+
+    ``filters`` defaults to the reference widths (archs.py:568). The
+    registry's opt-in ``UNet_R_SS_v2_wide`` variant pads the 64-channel
+    levels to 128 so every conv output fills the MXU's 128 lanes (the
+    64-wide levels run at 40-50% MXU efficiency, BASELINE.md) — NOT
+    checkpoint-compatible with the reference shapes.
     """
 
     num_classes: int
     input_channels: int = 3
     deep_supervision: bool = False
+    filters: tuple = (64, 128, 256, 384, 512, 768)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        f = (64, 128, 256, 384, 512, 768)  # archs.py:568
+        f = self.filters
         ss = 16  # archs.py:575
         C = self.num_classes
 

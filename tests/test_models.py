@@ -192,3 +192,19 @@ def test_spade_resnet_block_parity(reference_path, rng):
     np.testing.assert_allclose(
         np.asarray(out), ref_out.numpy().transpose(0, 2, 3, 1), atol=2e-3, rtol=1e-3
     )
+
+
+def test_wide_variant_registry_and_shapes(rng):
+    """Opt-in MXU-wide flagship: registered, runs, padded low levels."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssunet_gan_tpu.models import build_model
+    from ssunet_gan_tpu.utils import jit_init
+
+    model = build_model("UNet_R_SS_v2_wide", num_classes=3, input_channels=3)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+    out = model.apply(variables, x, False)
+    assert out.shape == (1, 32, 32, 3)
+    assert variables["params"]["conv0_0"]["conv1"]["kernel"].shape[-1] == 128
