@@ -31,7 +31,8 @@ from flax import linen as nn
 from ssunet_gan_tpu.ops.conv import Conv2d, _bias_init_for_fan, torch_kernel_init
 from ssunet_gan_tpu.ops.spade_kernel import (
     conv_apply,
-    fused_spade_enabled,
+    fast_gamma_beta_modulate,
+    fused_spade_mode,
     fused_spade_stage,
     fused_spade_supported,
 )
@@ -98,7 +99,12 @@ class SPADE(nn.Module):
         kg, bg = _ConvParams(self.norm_nc, ks, nhidden, name="mlp_gamma")()
         kb, bb = _ConvParams(self.norm_nc, ks, nhidden, name="mlp_beta")()
 
-        if segmap is x and fused_spade_enabled() and fused_spade_supported(x, ks):
+        mode = fused_spade_mode()
+        if (
+            mode == "pallas"
+            and segmap is x
+            and fused_spade_supported(x, ks)
+        ):
             # Self-SPADE (every ss-UNet stage): one Pallas kernel for the
             # whole stage — seg/actv/γ/β stay VMEM-resident and the narrow
             # convs run channels-in-sublanes (ops/spade_kernel.py).
@@ -106,6 +112,10 @@ class SPADE(nn.Module):
 
         seg = conv_apply(segmap, k1, b1, pw)
         actv = nn.relu(conv_apply(seg, k2, b2, pw))
+        if mode in ("fast", "pallas") and ks == 3:
+            # im2col the tiny actv → γ|β as one wide-contraction 1×1 conv
+            # (ops/spade_kernel.py) — same math, MXU-friendly shapes.
+            return fast_gamma_beta_modulate(normalized, actv, kg, bg, kb, bb)
         gamma = conv_apply(actv, kg, bg, pw)
         beta = conv_apply(actv, kb, bb, pw)
         return normalized * (1 + gamma) + beta

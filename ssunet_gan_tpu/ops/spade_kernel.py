@@ -50,22 +50,49 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # ---------------------------------------------------------------------------
-# Mode toggle: None = auto (fused on TPU, XLA path elsewhere).
+# Mode toggle.
+#
+# Modes (all measured on v5e, flagship b=32 @512² bf16 — see BASELINE.md):
+#   "off"    — the reference composition (4 separate convs + modulate).
+#              143 tiles/s end-to-end. XLA's in-context lowering keeps every
+#              SPADE tensor in layouts coherent with the neighbouring convs.
+#   "fast"   — XLA-restructured γ/β: im2col the tiny actv and compute both
+#              modulation maps as ONE wide-contraction 1×1 conv (K=9·nh
+#              instead of the MXU-starving K=nh). Wins in isolation, LOSES
+#              in-context (108.6 tiles/s): the 9-slice concat + 36-ch
+#              tensor force layout churn that outweighs the MXU gain.
+#   "pallas" — the whole-stage W-minor Pallas kernel below: 7.8 ms vs
+#              34.6 ms for the isolated level-0 stage (4.4×), but XLA pins
+#              conv layouts at the custom-call boundary and the relayout
+#              copies of x (~79 ms/iter) eat the win end-to-end
+#              (122 tiles/s).
+#
+# Auto (None) therefore resolves to "off"; the alternatives stay as
+# explicit, fully-tested opt-ins for hardware/toolchains where the layout
+# economics differ (the boundary-copy cost is an XLA/Mosaic artifact, not
+# intrinsic to the kernel).  Booleans: True → "fast", False → "off".
 # ---------------------------------------------------------------------------
 
-_FUSED: Optional[bool] = None
+_FUSED = None
 
 
-def set_fused_spade(enabled: Optional[bool]) -> None:
-    """Force the fused SPADE kernel on/off; ``None`` restores auto (TPU-only)."""
+def set_fused_spade(mode) -> None:
+    """Select the SPADE implementation: None (auto → "off"), False/"off",
+    True/"fast", or "pallas"."""
     global _FUSED
-    _FUSED = enabled
+    _FUSED = mode
+
+
+def fused_spade_mode() -> str:
+    if _FUSED is None or _FUSED is False:
+        return "off"
+    if _FUSED is True:
+        return "fast"
+    return _FUSED
 
 
 def fused_spade_enabled() -> bool:
-    if _FUSED is not None:
-        return _FUSED
-    return jax.default_backend() == "tpu"
+    return fused_spade_mode() != "off"
 
 
 def _interpret() -> bool:
@@ -310,7 +337,7 @@ fused_spade_stage.defvjp(_stage_fwd_rule, _stage_bwd_rule)
 
 
 # ---------------------------------------------------------------------------
-# Reference helpers kept for tests / tooling.
+# "fast" mode: XLA-restructured γ/β + modulate.
 # ---------------------------------------------------------------------------
 
 
@@ -321,3 +348,29 @@ def im2col_3x3(a: jax.Array) -> jax.Array:
     ap = jnp.pad(a, ((0, 0), (1, 1), (1, 1), (0, 0)))
     cols = [ap[:, dy : dy + h, dx : dx + w, :] for dy in range(3) for dx in range(3)]
     return jnp.concatenate(cols, axis=-1)
+
+
+def fast_gamma_beta_modulate(
+    x: jax.Array,
+    actv: jax.Array,
+    kg: jax.Array,
+    bg: jax.Array,
+    kb: jax.Array,
+    bb: jax.Array,
+) -> jax.Array:
+    """``x·(1 + conv3(actv; Kγ,bγ)) + conv3(actv; Kβ,bβ)`` — restructured.
+
+    The reference's two 3×3 convs contract only ``nh = C/16`` channels
+    (K=4 at the flagship's top level → ~3% MXU contraction utilization).
+    Stacking the 9 spatial taps of the *tiny* actv tensor (im2col) turns
+    both convs into ONE 1×1 conv with a 9·nh-deep contraction and 2C
+    outputs — full-lane MXU work — and XLA fuses the modulate into its
+    epilogue. Exact same math, order-of-summation float difference only.
+    """
+    c = x.shape[-1]
+    nh = actv.shape[-1]
+    a9 = im2col_3x3(actv)
+    k2 = jnp.concatenate([kg.reshape(9 * nh, c), kb.reshape(9 * nh, c)], axis=1)
+    b2 = jnp.concatenate([bg, bb])
+    gb = conv_apply(a9, k2.reshape(1, 1, 9 * nh, 2 * c), b2, 0)
+    return x * (1 + gb[..., :c]) + gb[..., c:]

@@ -14,6 +14,7 @@ import pytest
 from ssunet_gan_tpu.ops.spade import SPADE
 from ssunet_gan_tpu.ops.spade_kernel import (
     _xla_self_spade,
+    fast_gamma_beta_modulate,
     fused_spade_stage,
     im2col_3x3,
     set_fused_spade,
@@ -101,9 +102,34 @@ def test_im2col_matches_conv(rng):
     )
 
 
-def test_spade_module_fused_vs_unfused(rng):
+def test_fast_gamma_beta_modulate_parity(rng):
+    """"fast" mode's im2col + wide 1×1 conv equals the two narrow convs."""
+    case = _make_case(rng, 2, 8, 8, 32, 3, 4)
+    x, _, _, _, _, kg, bg, kb, bb = case
+    actv = jnp.asarray(rng.normal(size=(2, 8, 8, 4)), jnp.float32)
+
+    def conv3(v, k, b):
+        y = jax.lax.conv_general_dilated(
+            v, k, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return y + b
+
+    want = x * (1 + conv3(actv, kg, bg)) + conv3(actv, kb, bb)
+    got = fast_gamma_beta_modulate(x, actv, kg, bg, kb, bb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+    # and it is differentiable with matching grads
+    g1 = jax.grad(lambda a: jnp.sum(fast_gamma_beta_modulate(x, a, kg, bg, kb, bb) ** 2))(actv)
+    g2 = jax.grad(lambda a: jnp.sum((x * (1 + conv3(a, kg, bg)) + conv3(a, kb, bb)) ** 2))(actv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", [True, "pallas"])
+def test_spade_module_fused_vs_unfused(rng, mode):
     """The SPADE flax module produces identical outputs (and one param tree)
-    with the kernel on and off — self-SPADE configuration as in the models."""
+    across all modes — self-SPADE configuration as in the models."""
     x = jnp.asarray(rng.normal(size=(2, 8, 8, 64)), jnp.float32)
     mod = SPADE("spadebatch3x3", 64, 3, 64 / 16.0)
 
@@ -111,7 +137,7 @@ def test_spade_module_fused_vs_unfused(rng):
     variables = _init(mod, jax.random.PRNGKey(0), x, x)
     want = mod.apply(variables, x, x)
 
-    set_fused_spade(True)
+    set_fused_spade(mode)
     variables2 = _init(mod, jax.random.PRNGKey(0), x, x)
     got = mod.apply(variables2, x, x)
 
@@ -123,9 +149,10 @@ def test_spade_module_fused_vs_unfused(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5)
 
 
-def test_spade_module_general_segmap_unaffected(rng):
-    """Non-self SPADE (segmap != x, e.g. SPADEResnetBlock) must use the XLA
-    path regardless of the fused flag and stay numerically identical."""
+def test_spade_module_general_segmap(rng):
+    """Non-self SPADE (segmap != x, e.g. SPADEResnetBlock): the Pallas stage
+    kernel must NOT engage (it assumes self-conditioning), but the "fast"
+    γ/β restructuring applies and stays numerically equivalent."""
     x = jnp.asarray(rng.normal(size=(1, 8, 8, 16)), jnp.float32)
     seg = jnp.asarray(rng.normal(size=(1, 8, 8, 5)), jnp.float32)
     mod = SPADE("spadebatch3x3", 16, 3, 4.0)
@@ -133,6 +160,9 @@ def test_spade_module_general_segmap_unaffected(rng):
 
     set_fused_spade(False)
     want = mod.apply(variables, x, seg)
-    set_fused_spade(True)
-    got = mod.apply(variables, x, seg)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for mode in (True, "pallas"):
+        set_fused_spade(mode)
+        got = mod.apply(variables, x, seg)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=3e-5, atol=3e-5, err_msg=str(mode)
+        )
