@@ -101,7 +101,7 @@ def bench_scene(model, variables, on_tpu):
 
     def run_once():
         t0 = time.perf_counter()
-        patches, _ = patch_and_preprocess(scene, scene, config)
+        patches, _ = patch_and_preprocess(scene, scene, config, raw_uint8=True)
         coords = grid_coords(side, side, config["patch_size"], config["patch_overlap"])
         probs = _chunked_forward(model, variables, patches, False)
         merged = merge_patches_device(

@@ -51,7 +51,7 @@ def main():
         image_name = os.path.splitext(os.path.basename(img_path))[0]
         print(f"=> {image_name}")
         img_input, img_patch_set, mask_patch_set = get_patched_input(
-            img_path, config, gt_mask_flag
+            img_path, config, gt_mask_flag, raw_uint8=True
         )
         all_class_mask, gt_class_mask = segmentation_inference(
             model, variables, img_input, img_patch_set, mask_patch_set,

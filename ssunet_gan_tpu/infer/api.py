@@ -131,10 +131,15 @@ def effective_patch_size(h: int, w: int, p_size: int) -> int:
     return eff
 
 
-def patch_and_preprocess(img_input: np.ndarray, mask_input: np.ndarray, config: Dict):
+def patch_and_preprocess(img_input: np.ndarray, mask_input: np.ndarray, config: Dict,
+                         raw_uint8: bool = False):
     """Patch an in-memory scene and preprocess tiles (api:349-373).
 
-    Returns (img_patch_set NHWC float32, mask_patch_set).
+    Returns (img_patch_set, mask_patch_set). By default the patch set is
+    host-normalized float32 (the reference's pipeline). ``raw_uint8=True``
+    returns resized uint8 tiles instead — ``_chunked_forward`` fuses the
+    identical Normalize + /255 affine on-device, cutting the host→device
+    transfer 4× (the dev tunnel's H2D dominated whole-scene latency).
     """
     p_size = effective_patch_size(
         img_input.shape[0], img_input.shape[1], config["patch_size"]
@@ -147,10 +152,16 @@ def patch_and_preprocess(img_input: np.ndarray, mask_input: np.ndarray, config: 
     mask_patches = extract_patches(mask_input, coords, p_size)
 
     val_tf = Compose([Resize(config["input_h"], config["input_w"]), Normalize()])
-    out = np.empty((len(coords), config["input_h"], config["input_w"], 3), np.float32)
+    out = np.empty(
+        (len(coords), config["input_h"], config["input_w"], 3),
+        np.uint8 if raw_uint8 else np.float32,
+    )
 
     def prep(idx: int) -> None:
         img = cv2.resize(image_patches[idx], (img_size, img_size))
+        if raw_uint8:
+            out[idx] = img
+            return
         img = val_tf(image=img)["image"]
         out[idx] = img.astype(np.float32) / 255.0  # reference's extra /255 (api:367)
 
@@ -163,10 +174,12 @@ def patch_and_preprocess(img_input: np.ndarray, mask_input: np.ndarray, config: 
     return out, mask_patches
 
 
-def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool):
+def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool,
+                      raw_uint8: bool = False):
     """Patch a scene file and preprocess tiles for the model (api:336-373).
 
-    Returns (img_input, img_patch_set NHWC float32, mask_patch_set).
+    Returns (img_input, img_patch_set, mask_patch_set); see
+    :func:`patch_and_preprocess` for the ``raw_uint8`` fast path.
     """
     img_input = cv2.imread(img_path)
     if img_input is None:
@@ -179,7 +192,8 @@ def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool):
     else:
         mask_input = img_input
 
-    out, mask_patches = patch_and_preprocess(img_input, mask_input, config)
+    out, mask_patches = patch_and_preprocess(img_input, mask_input, config,
+                                             raw_uint8=raw_uint8)
     return img_input, out, mask_patches
 
 
@@ -191,8 +205,20 @@ def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool):
 _FORWARD_CACHE: Dict = {}
 
 
-def _get_forward(model, variables, mesh):
-    key = (model, mesh, id(variables))
+def _norm_consts():
+    """Fold Normalize + the reference's extra /255 (api:362-367) into one
+    per-channel affine: ``((x − μ·255)/(σ·255))/255 = x·a + b``."""
+    from ssunet_gan_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+    std = np.asarray(IMAGENET_STD, np.float32) * 255.0
+    mean = np.asarray(IMAGENET_MEAN, np.float32) * 255.0
+    a = 1.0 / (std * 255.0)
+    b = -mean / (std * 255.0)
+    return jnp.asarray(a), jnp.asarray(b)
+
+
+def _get_forward(model, variables, mesh, normalize: bool = False):
+    key = (model, mesh, id(variables), normalize)
     hit = _FORWARD_CACHE.get(key)
     if hit is not None:
         return hit[0], hit[1]
@@ -204,14 +230,22 @@ def _get_forward(model, variables, mesh):
     else:
         dev_vars = jax.device_put(variables)
 
+    if normalize:
+        na, nb = _norm_consts()
+
     @jax.jit
     def forward(vs, x):
+        if normalize:  # uint8 tiles: normalization fused on device
+            x = x.astype(jnp.float32) * na + nb
         out = model.apply(vs, x, False)
         if isinstance(out, (list, tuple)):
             out = out[-1]
         return jax.nn.sigmoid(out)
 
-    print("=> forward cache miss: compiling %s" % type(model).__name__)
+    import sys
+
+    print("=> forward cache miss: compiling %s" % type(model).__name__,
+          file=sys.stderr)
     while len(_FORWARD_CACHE) >= 4:  # bound device memory held by old entries
         _FORWARD_CACHE.pop(next(iter(_FORWARD_CACHE)))
     _FORWARD_CACHE[key] = (forward, dev_vars, variables)
@@ -226,8 +260,14 @@ def _chunked_forward(model, variables, patches: np.ndarray, deep_supervision: bo
     TPU-native scale-out of the reference's spatial tiling (SURVEY.md §5
     "ring-attention equivalent" slot): N chips each forward 1/N of the grid
     and the merge consumes the gathered probabilities.
+
+    ``patches`` may be float32 (already normalized, the reference's host
+    pipeline) or uint8 resized tiles — then the Normalize + /255 affine is
+    fused on-device, cutting host→device transfer 4× (identical math).
     """
-    fwd, dev_vars = _get_forward(model, variables, mesh)
+    fwd, dev_vars = _get_forward(
+        model, variables, mesh, normalize=patches.dtype == np.uint8
+    )
 
     def forward(x):
         return fwd(dev_vars, x)

@@ -205,3 +205,36 @@ def test_forward_cache_reused_across_scenes(rng):
     out2 = infer_api._chunked_forward(model, variables, patches, False)
     np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
     assert len(infer_api._FORWARD_CACHE) >= 1
+
+
+def test_uint8_device_normalize_matches_host_path(rng):
+    """The uint8-transfer fast path (device-fused Normalize + /255) must
+    reproduce the host-normalized float32 pipeline."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from ssunet_gan_tpu.infer import api as infer_api
+    from ssunet_gan_tpu.ops.conv import Conv2d
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return Conv2d(2, 3, padding=1, name="c")(x)
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), False)
+
+    scene = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    config = {"patch_size": 32, "input_h": 16, "input_w": 16,
+              "patch_overlap": 0.5, "num_classes": 2, "deep_supervision": False}
+
+    host, _ = infer_api.patch_and_preprocess(scene, scene, config)
+    raw, _ = infer_api.patch_and_preprocess(scene, scene, config, raw_uint8=True)
+    assert host.dtype == np.float32 and raw.dtype == np.uint8
+
+    out_host = infer_api._chunked_forward(model, variables, host, False)
+    out_raw = infer_api._chunked_forward(model, variables, raw, False)
+    np.testing.assert_allclose(
+        np.asarray(out_host), np.asarray(out_raw), rtol=1e-5, atol=1e-6
+    )
