@@ -25,6 +25,11 @@ from flax import linen as nn
 
 from ssunet_gan_tpu.ops.blocks import BasicBlock, Bottleneck, VGGBlock, maybe_remat
 from ssunet_gan_tpu.ops.conv import Conv2d, kaiming_uniform_fan_in_init
+from ssunet_gan_tpu.ops.stage_kernel import (
+    fused_eval_stage,
+    fused_stage_enabled,
+    fused_stage_supported,
+)
 from ssunet_gan_tpu.ops.pool import (
     max_pool_2x2,
     max_pool_2x2_with_indices,
@@ -38,6 +43,30 @@ SPADE_CONTEXT = "spadebatch3x3"  # archs.py:483 (param-free norm is bypassed any
 
 def _up(x: jax.Array) -> jax.Array:
     return upsample_bilinear(x, 2, align_corners=True)
+
+
+def _basic_spade_stage(x, planes, num_classes, ss, bname, sname, train):
+    """One flagship stage: BasicBlock + self-SPADE.
+
+    In eval mode with the fused-stage kernel enabled, the whole stage runs
+    as one Pallas program (ops/stage_kernel.py); otherwise the standard
+    module composition. Both branches declare the identical parameter tree
+    (the fused branch uses the modules' param-fetch paths).
+    """
+    parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+    in_planes = sum(p.shape[-1] for p in parts)
+    spade_args = (SPADE_CONTEXT, planes, num_classes, planes / ss)
+    if (
+        not train
+        and fused_stage_enabled()
+        and fused_stage_supported(parts, planes)
+        and in_planes != planes  # BasicBlock's shortcut conv must exist
+    ):
+        bp = BasicBlock(planes, in_planes=in_planes, name=bname)(None, False)
+        sp = SPADE(*spade_args, name=sname)(None, None)
+        return fused_eval_stage(parts, bp, sp)
+    y = maybe_remat(BasicBlock)(planes, name=bname)(x, train)
+    return SPADE(*spade_args, name=sname)(y, y)
 
 
 def _final_conv(num_classes: int, name: str = "final") -> Conv2d:
@@ -196,51 +225,40 @@ class UNetRSSv2(nn.Module):
         ss = 16  # archs.py:575
         C = self.num_classes
 
-        def spade(feat, name):
-            return SPADE(SPADE_CONTEXT, feat, C, feat / ss, name=name)
+        def stage(xin, feat, bname, sname):
+            return _basic_spade_stage(xin, feat, C, ss, bname, sname, train)
 
-        enc_0 = maybe_remat(BasicBlock)(f[0], name="conv0_0")(x, train)
-        enc_0 = spade(f[0], "SPADE0_0")(enc_0, enc_0)
+        enc_0 = stage(x, f[0], "conv0_0", "SPADE0_0")
 
         p0, idx0 = max_pool_2x2_with_indices(enc_0)
-        enc_1 = maybe_remat(BasicBlock)(f[1], name="conv1_0")(p0, train)
-        enc_1 = spade(f[1], "SPADE1_0")(enc_1, enc_1)
+        enc_1 = stage(p0, f[1], "conv1_0", "SPADE1_0")
 
         p1, idx1 = max_pool_2x2_with_indices(enc_1)
-        enc_2 = maybe_remat(BasicBlock)(f[2], name="conv2_0")(p1, train)
-        enc_2 = spade(f[2], "SPADE2_0")(enc_2, enc_2)
+        enc_2 = stage(p1, f[2], "conv2_0", "SPADE2_0")
 
         p2, idx2 = max_pool_2x2_with_indices(enc_2)
-        enc_3 = maybe_remat(BasicBlock)(f[3], name="conv3_0")(p2, train)
-        enc_3 = spade(f[3], "SPADE3_0")(enc_3, enc_3)
+        enc_3 = stage(p2, f[3], "conv3_0", "SPADE3_0")
 
         p3, idx3 = max_pool_2x2_with_indices(enc_3)
-        enc_4 = maybe_remat(BasicBlock)(f[4], name="conv4_0")(p3, train)
-        enc_4 = spade(f[4], "SPADE4_0")(enc_4, enc_4)
+        enc_4 = stage(p3, f[4], "conv4_0", "SPADE4_0")
         p4, idx4 = max_pool_2x2_with_indices(enc_4)
 
-        enc_5 = maybe_remat(BasicBlock)(f[5], name="conv5_0")(p4, train)
-        enc_5 = spade(f[5], "SPADE5_0")(enc_5, enc_5)
+        enc_5 = stage(p4, f[5], "conv5_0", "SPADE5_0")
         enc_5 = Conv2d(f[4], 1, use_bias=False, name="conv_head5_0")(enc_5)
         enc_5_up = max_unpool_2x2(enc_5, idx4)
 
-        dec_4 = maybe_remat(BasicBlock)(f[4], name="conv4_1")((enc_4, enc_5_up), train)
-        dec_4 = spade(f[4], "SPADE4_1")(dec_4, dec_4)
+        dec_4 = stage((enc_4, enc_5_up), f[4], "conv4_1", "SPADE4_1")
         dec_4 = Conv2d(f[3], 1, use_bias=False, name="conv_head4_1")(dec_4)
         dec_4_up = max_unpool_2x2(dec_4, idx3)
 
-        dec_3 = maybe_remat(BasicBlock)(f[3], name="conv3_1")((enc_3, dec_4_up), train)
-        dec_3 = spade(f[3], "SPADE3_1")(dec_3, dec_3)
+        dec_3 = stage((enc_3, dec_4_up), f[3], "conv3_1", "SPADE3_1")
         dec_3 = Conv2d(f[2], 1, use_bias=False, name="conv_head3_1")(dec_3)
         dec_3_up = max_unpool_2x2(dec_3, idx2)
 
-        dec_2 = maybe_remat(BasicBlock)(f[2], name="conv2_1")((enc_2, dec_3_up), train)
-        dec_2 = spade(f[2], "SPADE2_1")(dec_2, dec_2)
+        dec_2 = stage((enc_2, dec_3_up), f[2], "conv2_1", "SPADE2_1")
 
-        dec_1 = maybe_remat(BasicBlock)(f[1], name="conv1_1")((enc_1, _up(dec_2)), train)
-        dec_1 = spade(f[1], "SPADE1_1")(dec_1, dec_1)
+        dec_1 = stage((enc_1, _up(dec_2)), f[1], "conv1_1", "SPADE1_1")
 
-        dec_0 = maybe_remat(BasicBlock)(f[0], name="conv0_1")((enc_0, _up(dec_1)), train)
-        dec_0 = spade(f[0], "SPADE0_1")(dec_0, dec_0)
+        dec_0 = stage((enc_0, _up(dec_1)), f[0], "conv0_1", "SPADE0_1")
 
         return _final_conv(self.num_classes)(dec_0)

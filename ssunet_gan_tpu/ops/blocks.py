@@ -131,24 +131,54 @@ class SELayer(nn.Module):
 
 
 class BasicBlock(nn.Module):
-    """ResNet basic block, expansion 1 (archs.py:205-241)."""
+    """ResNet basic block, expansion 1 (archs.py:205-241).
+
+    ``__call__(None, ...)`` with ``in_planes`` set is the param-fetch path
+    used by the fused eval-stage kernel: it declares the identical tree and
+    returns the raw weights with the eval BatchNorms folded to affines —
+    ``(k1, (s1, t1), k2, (s2, t2), ks_or_None)``.
+    """
 
     planes: int
     stride: int = 1
+    in_planes: int = 0  # only needed for the x=None param-fetch path
 
     @nn.compact
-    def __call__(self, x, train: bool = True) -> jax.Array:
-        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
-        in_planes = sum(p.shape[-1] for p in parts)
-        out = Conv2d(self.planes, 3, stride=self.stride, padding=1, use_bias=False, name="conv1")(x)
-        out = BatchNorm(self.planes, name="bn1")(out, train)
+    def __call__(self, x, train: bool = True):
+        if x is None:
+            in_planes = self.in_planes
+            assert in_planes > 0, "x=None needs in_planes"
+        else:
+            parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+            in_planes = sum(p.shape[-1] for p in parts)
+
+        conv1 = Conv2d(self.planes, 3, stride=self.stride, padding=1,
+                       use_bias=False, in_channels=in_planes, name="conv1")
+        bn1 = BatchNorm(self.planes, name="bn1")
+        conv2 = Conv2d(self.planes, 3, padding=1, use_bias=False,
+                       in_channels=self.planes, name="conv2")
+        bn2 = BatchNorm(self.planes, name="bn2")
+        has_shortcut = self.stride != 1 or in_planes != self.planes
+        if has_shortcut:
+            shortcut_conv = Conv2d(self.planes, 1, stride=self.stride,
+                                   use_bias=False, in_channels=in_planes,
+                                   name="shortcut_conv")
+
+        if x is None:
+            k1, _ = conv1(None)
+            a1 = bn1(None, train)
+            k2, _ = conv2(None)
+            a2 = bn2(None, train)
+            ks = shortcut_conv(None)[0] if has_shortcut else None
+            return k1, a1, k2, a2, ks
+
+        out = conv1(x)
+        out = bn1(out, train)
         out = nn.relu(out)
-        out = Conv2d(self.planes, 3, padding=1, use_bias=False, name="conv2")(out)
-        out = BatchNorm(self.planes, name="bn2")(out, train)
-        if self.stride != 1 or in_planes != self.planes:
-            shortcut = Conv2d(
-                self.planes, 1, stride=self.stride, use_bias=False, name="shortcut_conv"
-            )(x)
+        out = conv2(out)
+        out = bn2(out, train)
+        if has_shortcut:
+            shortcut = shortcut_conv(x)
         else:
             shortcut = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         return nn.relu(out + shortcut)

@@ -71,20 +71,39 @@ class Conv2d(nn.Module):
     use_bias: bool = True
     kernel_init: Optional[object] = None
     bias_fill: Optional[float] = None
+    in_channels: Optional[int] = None  # only needed for the x=None path
 
     @nn.compact
     def __call__(self, x) -> jax.Array:
-        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
         ks = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) else tuple(self.kernel_size)
         st = (self.stride,) * 2 if isinstance(self.stride, int) else tuple(self.stride)
         pd = (self.padding,) * 2 if isinstance(self.padding, int) else tuple(self.padding)
-        in_ch = sum(p.shape[-1] for p in parts)
+        if x is None:
+            # param-fetch path (fused kernels need the raw weights without
+            # applying the conv) — declares the IDENTICAL tree
+            assert self.in_channels is not None, "x=None needs in_channels"
+            parts: Tuple = ()
+            in_ch = self.in_channels
+        else:
+            parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+            in_ch = sum(p.shape[-1] for p in parts)
         if len(parts) > 1 and self.groups != 1:
             raise ValueError("tuple (split-concat) input requires groups=1")
         kernel_shape = (*ks, in_ch // self.groups, self.features)
         kernel = self.param(
             "kernel", self.kernel_init or torch_kernel_init, kernel_shape, jnp.float32
         )
+
+        if x is None:
+            if not self.use_bias:
+                return kernel, None
+            fan_in = int(np.prod(kernel_shape[:-1]))
+            bias_init = (
+                nn.initializers.constant(self.bias_fill)
+                if self.bias_fill is not None
+                else _bias_init_for_fan(fan_in)
+            )
+            return kernel, self.param("bias", bias_init, (self.features,), jnp.float32)
 
         def one(p: jax.Array, k: jax.Array) -> jax.Array:
             return jax.lax.conv_general_dilated(

@@ -59,6 +59,17 @@ class BatchNorm(nn.Module):
             scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
 
+        if x is None:
+            # param-fetch path for fused eval kernels: the folded per-channel
+            # eval affine (y = x·k + b), identical math to the branch below
+            inv = jax.lax.rsqrt(ra_var.value + self.eps)
+            k = inv
+            b = -ra_mean.value * inv
+            if self.affine:
+                k = k * scale
+                b = b * scale + bias
+            return k, b
+
         if not train:
             # Eval fast path: running stats are constants, so normalization
             # is a per-channel affine y = x·k + b.  Folding the f32 constant

@@ -83,7 +83,10 @@ class SPADE(nn.Module):
     nhidden: float = 64
 
     @nn.compact
-    def __call__(self, x: jax.Array, segmap: jax.Array) -> jax.Array:
+    def __call__(self, x, segmap):
+        """Apply SPADE; ``__call__(None, None)`` is the param-fetch path for
+        the fused eval-stage kernel (self-SPADE: segmap channels = norm_nc),
+        returning ``(k1, b1, k2, b2, kg, bg, kb, bb)``."""
         _, ks = parse_spade_config(self.config_text)
         nhidden = int(max(self.nhidden, 4))
         pw = ks // 2
@@ -94,10 +97,13 @@ class SPADE(nn.Module):
         # Part 2: γ/β conditioned on the (projected) semantic map. Params are
         # declared Conv2d-identically so both code paths share one checkpoint
         # format (see _ConvParams).
-        k1, b1 = _ConvParams(self.label_nc, ks, segmap.shape[-1], name="x2map")()
+        seg_ch = self.norm_nc if segmap is None else segmap.shape[-1]
+        k1, b1 = _ConvParams(self.label_nc, ks, seg_ch, name="x2map")()
         k2, b2 = _ConvParams(nhidden, ks, self.label_nc, name="mlp_shared")()
         kg, bg = _ConvParams(self.norm_nc, ks, nhidden, name="mlp_gamma")()
         kb, bb = _ConvParams(self.norm_nc, ks, nhidden, name="mlp_beta")()
+        if x is None:
+            return k1, b1, k2, b2, kg, bg, kb, bb
 
         mode = fused_spade_mode()
         if (

@@ -182,24 +182,19 @@ def _zero_outside_image(v: jax.Array, row0, h_img: int) -> jax.Array:
     )
 
 
-def _stage_kernel(xc_ref, xp_ref, xn_ref, k1_ref, b1_ref, k2_ref, k3_ref,
-                  o_ref):
-    """Biases ride as an appended ones-channel on the matmul contraction
+def _spade_tail(xh, row0, h_img, k1_ref, b1_ref, k2_ref, k3_ref, dtype):
+    """Self-SPADE on a W-minor slab ``xh`` of TH+6 rows (3 halo rings each
+    side, already zeroed outside the image); returns the TH modulated rows.
+
+    ``row0`` is the global image row of xh row 0 (for zeroing conv-chain
+    intermediates outside [0, h_img) — each conv zero-pads its OWN input).
+    Biases ride as an appended ones-channel on the matmul contraction
     (K2/K3 arrive with the bias column packed; b1 is concatenated onto the
     first x2map tap) — the same conv+bias numerics, and no (f,1)-shaped
-    broadcasts, which crash Mosaic's vector layout pass."""
-    i = pl.program_id(1)
-    n_bands = pl.num_programs(1)
-    th, c, w = o_ref.shape[0], o_ref.shape[1], o_ref.shape[2]
-    dtype = o_ref.dtype
-
-    # H halo: last 3 rows of the previous 8-row view / first 3 of the next,
-    # zeroed at the image's top/bottom edge (conv pad 1 × 3 convs).
-    top = xp_ref[5:8]
-    bot = xn_ref[0:3]
-    top = jnp.where(i == 0, jnp.zeros_like(top), top)
-    bot = jnp.where(i == n_bands - 1, jnp.zeros_like(bot), bot)
-    xh = jnp.concatenate([top, xc_ref[:], bot], axis=0)  # (TH+6, C, W)
+    broadcasts, which crash Mosaic's vector layout pass.
+    """
+    th = xh.shape[0] - 6
+    c, w = xh.shape[1], xh.shape[2]
 
     # x2map: per-tap (label, C) @ (C, ·) contractions, f32 accumulation.
     ones_seg = jnp.ones((th + 4, 1, w), dtype)
@@ -215,15 +210,13 @@ def _stage_kernel(xc_ref, xp_ref, xn_ref, k1_ref, b1_ref, k2_ref, k3_ref,
             p = _dotb(kt, sl)
             seg = p if seg is None else seg + p
     seg = seg.astype(dtype)  # (TH+4, lab, W)
-    # each conv in the chain zero-pads ITS OWN input at the image border:
-    # seg rows outside [0, H) must be zeros, not extrapolated values
-    seg = _zero_outside_image(seg, i * th - 2, n_bands * th)
+    seg = _zero_outside_image(seg, row0 + 1, h_img)
 
     # mlp_shared: packed 9·label(+bias) contraction + ReLU.
     s9 = _tap_cat(seg, th + 2)  # (TH+2, 9·lab, W)
     s9 = jnp.concatenate([s9, jnp.ones((th + 2, 1, w), dtype)], axis=1)
     actv = jax.nn.relu(_dotb(k2_ref[:], s9)).astype(dtype)  # (TH+2, nh, W)
-    actv = _zero_outside_image(actv, i * th - 1, n_bands * th)
+    actv = _zero_outside_image(actv, row0 + 2, h_img)
 
     # gamma|beta: packed 9·nh(+bias) contraction; modulate on the VPU.
     a9 = _tap_cat(actv, th)  # (TH, 9·nh, W)
@@ -232,8 +225,27 @@ def _stage_kernel(xc_ref, xp_ref, xn_ref, k1_ref, b1_ref, k2_ref, k3_ref,
     # in f32 mode) — f32 intermediates here would double VMEM pressure
     gb = _dotb(k3_ref[:], a9).astype(dtype)  # (TH, 2C, W)
     xc = xh[3 : 3 + th]
-    out = xc * (jnp.ones((), dtype) + gb[:, :c]) + gb[:, c:]
-    o_ref[:] = out.astype(dtype)
+    return (xc * (jnp.ones((), dtype) + gb[:, :c]) + gb[:, c:]).astype(dtype)
+
+
+def _stage_kernel(xc_ref, xp_ref, xn_ref, k1_ref, b1_ref, k2_ref, k3_ref,
+                  o_ref):
+    i = pl.program_id(1)
+    n_bands = pl.num_programs(1)
+    th = o_ref.shape[0]
+    dtype = o_ref.dtype
+
+    # H halo: last 3 rows of the previous 8-row view / first 3 of the next,
+    # zeroed at the image's top/bottom edge (conv pad 1 × 3 convs).
+    top = xp_ref[5:8]
+    bot = xn_ref[0:3]
+    top = jnp.where(i == 0, jnp.zeros_like(top), top)
+    bot = jnp.where(i == n_bands - 1, jnp.zeros_like(bot), bot)
+    xh = jnp.concatenate([top, xc_ref[:], bot], axis=0)  # (TH+6, C, W)
+
+    o_ref[:] = _spade_tail(
+        xh, i * th - 3, n_bands * th, k1_ref, b1_ref, k2_ref, k3_ref, dtype
+    )
 
 
 def _stage_core(xv, K1, b1, K2, K3):

@@ -1,0 +1,129 @@
+"""Parity tests for the fused eval [BasicBlock + self-SPADE] stage kernel.
+
+On CPU the kernel runs in Pallas interpret mode, exercising the exact
+kernel body against the standard module composition.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssunet_gan_tpu.models import build_model
+from ssunet_gan_tpu.ops.blocks import BasicBlock
+from ssunet_gan_tpu.ops.spade import SPADE
+from ssunet_gan_tpu.ops.spade_kernel import set_fused_spade
+from ssunet_gan_tpu.ops.stage_kernel import (
+    fused_eval_stage,
+    set_fused_stage,
+)
+from ssunet_gan_tpu.utils import jit_init
+
+
+@pytest.fixture(autouse=True)
+def _restore_flags():
+    yield
+    set_fused_stage(None)
+    set_fused_spade(None)
+
+
+def _make_stage_modules(planes, label_nc, nhidden):
+    block = BasicBlock(planes)
+    spade = SPADE("spadebatch3x3", planes, label_nc, nhidden)
+    return block, spade
+
+
+def _reference_stage(block, spade, bvars, svars, parts):
+    y = block.apply(bvars, parts if len(parts) > 1 else parts[0], False)
+    return spade.apply(svars, y, y)
+
+
+def _fused_stage(block, spade, bvars, svars, parts, in_planes):
+    bp = BasicBlock(block.planes, in_planes=in_planes).apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+    return fused_eval_stage(parts, bp, sp)
+
+
+def _init_pair(rng, planes, label_nc, shapes, nhidden):
+    block, spade = _make_stage_modules(planes, label_nc, nhidden)
+    parts = tuple(
+        jnp.asarray(rng.normal(size=s), jnp.float32) for s in shapes
+    )
+    xin = parts if len(parts) > 1 else parts[0]
+    bvars = jax.jit(lambda: block.init(jax.random.PRNGKey(0), xin, True))()
+    y0 = jnp.zeros(shapes[0][:3] + (planes,), jnp.float32)
+    svars = jax.jit(lambda: spade.init(jax.random.PRNGKey(1), y0, y0))()
+    # randomize BN running stats so the eval affine actually matters
+    g = np.random.default_rng(7)
+
+    def _randomize(node):
+        if isinstance(node, dict):
+            return {
+                k: (
+                    jnp.asarray((g.random(v.shape) + 0.5).astype(np.float32))
+                    if k == "var"
+                    else jnp.asarray(g.normal(size=v.shape).astype(np.float32) * 0.3)
+                    if k == "mean"
+                    else _randomize(v)
+                )
+                for k, v in node.items()
+            }
+        return node
+
+    bvars = {"params": bvars["params"], "batch_stats": _randomize(dict(bvars["batch_stats"]))}
+    return block, spade, bvars, svars, parts
+
+
+@pytest.mark.parametrize(
+    "planes,label,shapes,nh",
+    [
+        (16, 3, [(2, 16, 8, 8)], 4.0),                       # encoder, 1 part
+        (16, 3, [(1, 8, 16, 8), (1, 8, 16, 16)], 4.0),       # decoder, 2 parts
+        (32, 3, [(1, 24, 8, 16)], 2.0),                      # th=8 multi-band
+        (8, 2, [(2, 8, 8, 3)], 4.0),                         # 3-ch first block
+    ],
+)
+def test_stage_forward_parity(rng, planes, label, shapes, nh):
+    block, spade, bvars, svars, parts = _init_pair(rng, planes, label, shapes, nh)
+    want = _reference_stage(block, spade, bvars, svars, parts)
+    got = _fused_stage(block, spade, bvars, svars, parts,
+                       sum(s[-1] for s in shapes))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_stage_bf16_smoke(rng):
+    block, spade, bvars, svars, parts = _init_pair(rng, 16, 3, [(1, 8, 8, 8)], 4.0)
+    parts16 = tuple(p.astype(jnp.bfloat16) for p in parts)
+    got = np.asarray(
+        _fused_stage(block, spade, bvars, svars, parts16, 8), np.float32
+    )
+    want = np.asarray(_reference_stage(block, spade, bvars, svars, parts), np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.1, atol=0.3)
+
+
+def test_flagship_fused_stage_model_parity(rng):
+    """Flagship eval forward: fused-stage mode vs standard composition."""
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
+
+    set_fused_stage(False)
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+    want = model.apply(variables, x, False)
+
+    set_fused_stage(True)
+    variables2 = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(
+        variables2
+    )
+    got = model.apply(variables2, x, False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
+
+    # train-mode forward must take the XLA path and stay untouched
+    t1 = model.apply(variables, x, True, mutable=["batch_stats"])[0]
+    set_fused_stage(False)
+    t2 = model.apply(variables, x, True, mutable=["batch_stats"])[0]
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
