@@ -182,34 +182,51 @@ def _zero_outside_image(v: jax.Array, row0, h_img: int) -> jax.Array:
     )
 
 
-def _spade_tail(xh, row0, h_img, k1_ref, b1_ref, k2_ref, k3_ref, dtype):
+def _conv3_rows(slabs, kp, t_out: int, dtype):
+    """3×3 conv (pad-1 in W, valid in H) over W-minor slabs via per-row
+    packed-tap dots: for each output row, the 9 shifted taps of every input
+    slab plus a ones-row (bias) concatenate on the contraction axis and hit
+    the MXU as ONE ``(Cout, K) @ (K, W)`` matmul with a deep K — an order of
+    magnitude better contraction utilization than per-tap narrow-K dots.
+
+    ``slabs``: list of (t_out+2, Cp, W) inputs (split-concat conv parts);
+    ``kp``: (Cout, Σ9·Cp [+extras..+1]) packed kernel, parts-major tap-major
+    columns, bias LAST. ``extra`` rows (e.g. a fused 1×1-shortcut input) can
+    be appended by the caller before the ones-row via ``extra_rows``.
+    Returns (t_out, Cout, W) in f32.
+    """
+    w = slabs[0].shape[-1]
+    ones_row = jnp.ones((1, w), dtype)
+    rows = []
+    for t in range(t_out):
+        taps = []
+        for slab in slabs:
+            for dy in range(3):
+                r = slab[t + dy]
+                for dx in range(3):
+                    taps.append(_shift_w(r, dx))
+        taps.append(ones_row)
+        x9 = jnp.concatenate(taps, axis=0)
+        rows.append(jnp.dot(kp, x9, preferred_element_type=jnp.float32))
+    return jnp.stack(rows, axis=0)
+
+
+def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype):
     """Self-SPADE on a W-minor slab ``xh`` of TH+6 rows (3 halo rings each
     side, already zeroed outside the image); returns the TH modulated rows.
 
     ``row0`` is the global image row of xh row 0 (for zeroing conv-chain
     intermediates outside [0, h_img) — each conv zero-pads its OWN input).
-    Biases ride as an appended ones-channel on the matmul contraction
-    (K2/K3 arrive with the bias column packed; b1 is concatenated onto the
-    first x2map tap) — the same conv+bias numerics, and no (f,1)-shaped
-    broadcasts, which crash Mosaic's vector layout pass.
+    Biases ride as an appended ones-channel on the matmul contraction (all
+    packed kernels arrive with the bias column last) — the same conv+bias
+    numerics, and no (f,1)-shaped broadcasts, which crash Mosaic's vector
+    layout pass.
     """
     th = xh.shape[0] - 6
     c, w = xh.shape[1], xh.shape[2]
 
-    # x2map: per-tap (label, C) @ (C, ·) contractions, f32 accumulation.
-    ones_seg = jnp.ones((th + 4, 1, w), dtype)
-    seg = None
-    for dy in range(3):
-        slab = xh[dy : dy + th + 4]
-        for dx in range(3):
-            kt = k1_ref[:, (dy * 3 + dx) * c : (dy * 3 + dx + 1) * c]
-            sl = _shift_w(slab, dx)
-            if dy == 0 and dx == 0:  # bias rides the first tap
-                kt = jnp.concatenate([kt, b1_ref[:].astype(kt.dtype)], axis=1)
-                sl = jnp.concatenate([sl, ones_seg], axis=1)
-            p = _dotb(kt, sl)
-            seg = p if seg is None else seg + p
-    seg = seg.astype(dtype)  # (TH+4, lab, W)
+    # x2map: per-row packed-tap dot, contraction 9·C+1.
+    seg = _conv3_rows([xh], k1_ref[:], th + 4, dtype).astype(dtype)
     seg = _zero_outside_image(seg, row0 + 1, h_img)
 
     # mlp_shared: packed 9·label(+bias) contraction + ReLU.
@@ -228,8 +245,7 @@ def _spade_tail(xh, row0, h_img, k1_ref, b1_ref, k2_ref, k3_ref, dtype):
     return (xc * (jnp.ones((), dtype) + gb[:, :c]) + gb[:, c:]).astype(dtype)
 
 
-def _stage_kernel(xc_ref, xp_ref, xn_ref, k1_ref, b1_ref, k2_ref, k3_ref,
-                  o_ref):
+def _stage_kernel(xc_ref, xp_ref, xn_ref, k1_ref, k2_ref, k3_ref, o_ref):
     i = pl.program_id(1)
     n_bands = pl.num_programs(1)
     th = o_ref.shape[0]
@@ -244,11 +260,11 @@ def _stage_kernel(xc_ref, xp_ref, xn_ref, k1_ref, b1_ref, k2_ref, k3_ref,
     xh = jnp.concatenate([top, xc_ref[:], bot], axis=0)  # (TH+6, C, W)
 
     o_ref[:] = _spade_tail(
-        xh, i * th - 3, n_bands * th, k1_ref, b1_ref, k2_ref, k3_ref, dtype
+        xh, i * th - 3, n_bands * th, k1_ref, k2_ref, k3_ref, dtype
     )
 
 
-def _stage_core(xv, K1, b1, K2, K3):
+def _stage_core(xv, K1, K2, K3):
     n, h, c, w = xv.shape
     th = 16 if h % 16 == 0 else 8
     h8 = h // 8
@@ -272,14 +288,13 @@ def _stage_core(xv, K1, b1, K2, K3):
                 memory_space=pltpu.VMEM,
             ),
             vmem(K1.shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM),
-            vmem(b1.shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM),
             vmem(K2.shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM),
             vmem(K3.shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=vmem((None, th, c, w), lambda ni, hi: (ni, hi, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(xv.shape, xv.dtype),
         interpret=_interpret(),
-    )(xv, xv, xv, K1, b1, K2, K3)
+    )(xv, xv, xv, K1, K2, K3)
 
 
 # ---------------------------------------------------------------------------
@@ -316,8 +331,10 @@ def _stage_fwd_impl(x, k1, b1, k2, b2, kg, bg, kb, bb):
     lab = k1.shape[-1]
     nh = k2.shape[-1]
     xv = jnp.swapaxes(x, 2, 3)  # (N, H, C, W) — folds into neighbours' layouts
-    K1 = k1.reshape(9 * c, lab).T.astype(x.dtype)  # (lab, 9C), tap-major cols
-    # biases ride as an extra contraction column (see _stage_kernel)
+    # biases ride as an extra contraction column everywhere
+    K1 = jnp.concatenate(
+        [k1.reshape(9 * c, lab).T, b1.reshape(lab, 1)], axis=1
+    ).astype(x.dtype)  # (lab, 9C+1), tap-major cols
     K2 = jnp.concatenate(
         [k2.reshape(9 * lab, nh).T, b2.reshape(nh, 1)], axis=1
     ).astype(x.dtype)  # (nh, 9·lab+1)
@@ -328,7 +345,7 @@ def _stage_fwd_impl(x, k1, b1, k2, b2, kg, bg, kb, bb):
         ],
         axis=0,
     ).astype(x.dtype)  # (2C, 9·nh+1)
-    outv = _stage_core(xv, K1, b1.reshape(lab, 1).astype(x.dtype), K2, K3)
+    outv = _stage_core(xv, K1, K2, K3)
     return jnp.swapaxes(outv, 2, 3)
 
 

@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ssunet_gan_tpu.ops.spade_kernel import (
-    _dotb,
+    _conv3_rows,
     _interpret,
     _shift_w,
     _spade_tail,
@@ -66,13 +66,38 @@ def fused_stage_enabled() -> bool:
     return bool(_FUSED_STAGE)
 
 
+_VMEM_LIMIT = 28 * 1024 * 1024  # raised scoped-VMEM cap for the fat stages
+
+
+def _pick_th(h: int, w: int, c: int, part_ch) -> Optional[int]:
+    """The band height is fixed at 8 (the rolling-halo lookahead needs
+    th ≥ 5 rows from exactly one future block); this only checks that the
+    working set fits the raised scoped-VMEM cap."""
+    th = 8
+    if h % th:
+        return None
+    # per part: rolling scratch + double-buffered cur block + xh slab
+    parts_b = sum(((th + 5) + 2 * th + (th + 10)) * cp * w * 2 for cp in part_ch)
+    # h1 (f32 acc + bf16), h2/y (f32 + bf16), spade gb, out (×2 buf)
+    mid_b = (th + 8) * c * w * 6 + (th + 6) * c * w * 6 \
+        + th * 2 * c * w * 2 + 2 * th * c * w * 2
+    return th if parts_b + mid_b < 0.8 * _VMEM_LIMIT else None
+
+
 def fused_stage_supported(parts: Sequence[jax.Array], planes: int) -> bool:
     """Static gate: eval-size constraints for the W-minor kernel."""
     h, w = parts[0].shape[1], parts[0].shape[2]
     if any(p.shape[1] != h or p.shape[2] != w for p in parts):
         return False
     min_w = 8 if _interpret() else 128
-    return len(parts) <= 2 and h % 8 == 0 and h >= 8 and w >= min_w and planes <= 256
+    return (
+        len(parts) <= 2
+        and h % 8 == 0
+        and h >= 8
+        and w >= min_w
+        and planes <= 256
+        and _pick_th(h, w, planes, [p.shape[-1] for p in parts]) is not None
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -82,14 +107,12 @@ def fused_stage_supported(parts: Sequence[jax.Array], planes: int) -> bool:
 
 def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int):
     def kernel(*refs):
-        # operand order: [xcur_p ×P] [K1_p ×P] [Ks_p ×P] K2, K1s, b1s, K2s,
-        #                K3s, out, [scratch_p ×P]
+        # operand order: [xcur_p ×P] K1cat, K2SC, K1s, K2s, K3s, out,
+        #                [scratch_p ×P]
         xcur = refs[:n_parts]
-        k1 = refs[n_parts : 2 * n_parts]
-        ksc = refs[2 * n_parts : 3 * n_parts]
-        k2_ref, k1s_ref, b1s_ref, k2s_ref, k3s_ref = refs[3 * n_parts : 3 * n_parts + 5]
-        o_ref = refs[3 * n_parts + 5]
-        scratch = refs[3 * n_parts + 6 :]
+        k1_ref, k2sc_ref, k1s_ref, k2s_ref, k3s_ref = refs[n_parts : n_parts + 5]
+        o_ref = refs[n_parts + 5]
+        scratch = refs[n_parts + 6 :]
 
         i = pl.program_id(1)
         dtype = o_ref.dtype
@@ -98,54 +121,42 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int):
         @pl.when(i > 0)
         def _compute():
             g0 = (i - 1) * th - 5  # global image row of xh row 0
-            ones1 = jnp.ones((th + 8, 1, w), dtype)
-
-            # h1 = relu(bn1-folded conv1(x)) over all parts' taps
-            h1 = None
-            first = True
             xh_parts = []
             for p in range(n_parts):
                 xh = jnp.concatenate([scratch[p][:], cur[p][0:5]], axis=0)
-                xh = _zero_outside_image(xh, g0, h_img).astype(dtype)
-                xh_parts.append(xh)  # (th+10, Cp, W)
-                cp = part_ch[p]
-                for dy in range(3):
-                    slab = xh[dy : dy + th + 8]
-                    for dx in range(3):
-                        kt = k1[p][:, (dy * 3 + dx) * cp : (dy * 3 + dx + 1) * cp]
-                        sl = _shift_w(slab, dx)
-                        if first:  # folded bn1 offset rides the first tap
-                            kt = jnp.concatenate(
-                                [kt, k1[p][:, 9 * cp :]], axis=1
-                            )
-                            sl = jnp.concatenate([sl, ones1], axis=1)
-                            first = False
-                        t = _dotb(kt, sl)
-                        h1 = t if h1 is None else h1 + t
-            h1 = jax.nn.relu(h1).astype(dtype)
+                xh_parts.append(
+                    _zero_outside_image(xh, g0, h_img).astype(dtype)
+                )  # (th+10, Cp, W)
+
+            # h1 = relu(bn1-folded conv1 over all parts): one deep-K packed
+            # dot per output row (contraction 9·ΣCp + 1)
+            h1 = jax.nn.relu(
+                _conv3_rows(xh_parts, k1_ref[:], th + 8, dtype)
+            ).astype(dtype)
             h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
 
-            # h2 = bn2-folded conv2(h1); shortcut = 1×1 conv over parts
-            ones2 = jnp.ones((th + 6, 1, w), dtype)
-            h2 = None
-            for dy in range(3):
-                slab = h1[dy : dy + th + 6]
-                for dx in range(3):
-                    kt = k2_ref[:, (dy * 3 + dx) * c : (dy * 3 + dx + 1) * c]
-                    sl = _shift_w(slab, dx)
-                    if dy == 0 and dx == 0:
-                        kt = jnp.concatenate([kt, k2_ref[:, 9 * c :]], axis=1)
-                        sl = jnp.concatenate([sl, ones2], axis=1)
-                    t = _dotb(kt, sl)
-                    h2 = t if h2 is None else h2 + t
-            for p in range(n_parts):
-                h2 = h2 + _dotb(ksc[p][:], xh_parts[p][2 : 2 + th + 6])
-
-            y = jax.nn.relu(h2).astype(dtype)
+            # conv2 + 1×1 shortcut + bn2 bias fused into ONE per-row dot:
+            # row input = [9 taps of h1 | per-part x row | ones]
+            ones_row = jnp.ones((1, w), dtype)
+            y_rows = []
+            for t in range(th + 6):
+                taps = []
+                for dy in range(3):
+                    r = h1[t + dy]
+                    for dx in range(3):
+                        taps.append(_shift_w(r, dx))
+                for p in range(n_parts):
+                    taps.append(xh_parts[p][t + 2])
+                taps.append(ones_row)
+                x9 = jnp.concatenate(taps, axis=0)  # (9C + ΣCp + 1, W)
+                y_rows.append(
+                    jnp.dot(k2sc_ref[:], x9, preferred_element_type=jnp.float32)
+                )
+            y = jax.nn.relu(jnp.stack(y_rows, axis=0)).astype(dtype)
             y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
 
             o_ref[:] = _spade_tail(
-                y, g0 + 2, h_img, k1s_ref, b1s_ref, k2s_ref, k3s_ref, dtype
+                y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype
             )
 
         # roll the scratch: keep the last th+5 rows of (scratch ∪ cur)
@@ -165,10 +176,10 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int):
     return kernel
 
 
-def _stage_call(parts_v, K1, Ks, K2, K1s, b1s, K2s, K3s, th: int):
+def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int):
     """parts_v: list of (N, H, Cp, W) views; returns (N, H, C, W)."""
     n, h, _, w = parts_v[0].shape
-    c = K2.shape[0]
+    c = K2SC.shape[0]
     n_parts = len(parts_v)
     part_ch = tuple(p.shape[2] for p in parts_v)
     nh = h // th
@@ -191,9 +202,7 @@ def _stage_call(parts_v, K1, Ks, K2, K1s, b1s, K2s, K3s, th: int):
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
-            + [const(K1[p].shape) for p in range(n_parts)]
-            + [const(Ks[p].shape) for p in range(n_parts)]
-            + [const(K2.shape), const(K1s.shape), const(b1s.shape),
+            + [const(K1cat.shape), const(K2SC.shape), const(K1s.shape),
                const(K2s.shape), const(K3s.shape)]
         ),
         out_specs=pl.BlockSpec(
@@ -205,8 +214,9 @@ def _stage_call(parts_v, K1, Ks, K2, K1s, b1s, K2s, K3s, th: int):
         scratch_shapes=[
             pltpu.VMEM((th + 5, part_ch[p], w), dtype) for p in range(n_parts)
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(*parts_v, *K1, *Ks, K2, K1s, b1s, K2s, K3s)
+    )(*parts_v, K1cat, K2SC, K1s, K2s, K3s)
 
 
 # ---------------------------------------------------------------------------
@@ -237,26 +247,28 @@ def fused_eval_stage(
     k1f = k1 * s1  # HWIO · (C,) broadcasts over the out axis
     k2f = k2 * s2
 
-    # per-part W-minor packing; bias column appended (rides the first tap)
+    # W-minor packing, per-row packed-tap layout: parts-major tap-major
+    # columns, bias LAST (matches _conv3_rows / the kernel's row assembly)
     offs = [0]
     for p in parts:
         offs.append(offs[-1] + p.shape[-1])
-    K1 = []
-    Ks = []
-    for pi in range(len(parts)):
-        cp = parts[pi].shape[-1]
-        k1_p = k1f[:, :, offs[pi] : offs[pi + 1], :].reshape(9 * cp, c).T
-        if pi == 0:
-            k1_p = jnp.concatenate([k1_p, t1.reshape(c, 1)], axis=1)
-        K1.append(k1_p.astype(dtype))
-        Ks.append(ks[0, 0, offs[pi] : offs[pi + 1], :].T.astype(dtype))
-    K2 = jnp.concatenate(
-        [k2f.reshape(9 * c, c).T, t2.reshape(c, 1)], axis=1
+    k1_parts = [
+        k1f[:, :, offs[pi] : offs[pi + 1], :].reshape(9 * parts[pi].shape[-1], c).T
+        for pi in range(len(parts))
+    ]
+    K1cat = jnp.concatenate(k1_parts + [t1.reshape(c, 1)], axis=1).astype(dtype)
+    ks_parts = [
+        ks[0, 0, offs[pi] : offs[pi + 1], :].T for pi in range(len(parts))
+    ]
+    # conv2 + shortcut + bn2 bias in one contraction: [9 taps of h1 | x | 1]
+    K2SC = jnp.concatenate(
+        [k2f.reshape(9 * c, c).T] + ks_parts + [t2.reshape(c, 1)], axis=1
     ).astype(dtype)
 
     # SPADE packing (same conventions as spade_kernel._stage_fwd_impl)
-    K1s = k1s.reshape(9 * c, lab).T.astype(dtype)
-    B1s = b1s.reshape(lab, 1).astype(dtype)
+    K1s = jnp.concatenate(
+        [k1s.reshape(9 * c, lab).T, b1s.reshape(lab, 1)], axis=1
+    ).astype(dtype)
     K2s = jnp.concatenate(
         [k2s.reshape(9 * lab, nh).T, b2s.reshape(nh, 1)], axis=1
     ).astype(dtype)
@@ -269,7 +281,8 @@ def fused_eval_stage(
     ).astype(dtype)
 
     parts_v = [jnp.swapaxes(p, 2, 3) for p in parts]  # (N, H, Cp, W)
-    h = parts_v[0].shape[1]
-    th = 8 if h % 8 == 0 else max(g for g in (4, 2, 1) if h % g == 0)
-    outv = _stage_call(parts_v, K1, Ks, K2, K1s, B1s, K2s, K3s, th)
+    h, w = parts_v[0].shape[1], parts_v[0].shape[3]
+    th = _pick_th(h, w, c, [p.shape[-1] for p in parts])
+    assert th is not None, "caller must gate with fused_stage_supported"
+    outv = _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th)
     return jnp.swapaxes(outv, 2, 3)
