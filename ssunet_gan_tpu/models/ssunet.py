@@ -45,13 +45,19 @@ def _up(x: jax.Array) -> jax.Array:
     return upsample_bilinear(x, 2, align_corners=True)
 
 
-def _basic_spade_stage(x, planes, num_classes, ss, bname, sname, train):
+def _basic_spade_stage(x, planes, num_classes, ss, bname, sname, train,
+                       final_conv=None):
     """One flagship stage: BasicBlock + self-SPADE.
 
     In eval mode with the fused-stage kernel enabled, the whole stage runs
     as one Pallas program (ops/stage_kernel.py); otherwise the standard
     module composition. Both branches declare the identical parameter tree
     (the fused branch uses the modules' param-fetch paths).
+
+    ``final_conv`` (a 1×1 Conv2d module) marks the model's LAST stage: the
+    fused kernel folds it in and emits logits directly (the full-res stage
+    activation never leaves VMEM); the composition path applies it after.
+    Returns (stage_output_or_None, logits_or_None).
     """
     parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
     in_planes = sum(p.shape[-1] for p in parts)
@@ -64,16 +70,20 @@ def _basic_spade_stage(x, planes, num_classes, ss, bname, sname, train):
     ):
         bp = BasicBlock(planes, in_planes=in_planes, name=bname)(None, False)
         sp = SPADE(*spade_args, name=sname)(None, None)
-        return fused_eval_stage(parts, bp, sp)
+        head = None if final_conv is None else final_conv(None)
+        out = fused_eval_stage(parts, bp, sp, final_head=head)
+        return (out, None) if final_conv is None else (None, out)
     y = maybe_remat(BasicBlock)(planes, name=bname)(x, train)
-    return SPADE(*spade_args, name=sname)(y, y)
+    y = SPADE(*spade_args, name=sname)(y, y)
+    return (y, None) if final_conv is None else (y, final_conv(y))
 
 
-def _final_conv(num_classes: int, name: str = "final") -> Conv2d:
+def _final_conv(num_classes: int, name: str = "final", in_channels=None) -> Conv2d:
     """Final 1×1 conv with kaiming-uniform fan_in weights and zero bias
-    (archs.py:522-524)."""
+    (archs.py:522-524). ``in_channels`` enables the param-fetch path."""
     return Conv2d(
-        num_classes, 1, name=name, kernel_init=kaiming_uniform_fan_in_init, bias_fill=0.0
+        num_classes, 1, name=name, kernel_init=kaiming_uniform_fan_in_init,
+        bias_fill=0.0, in_channels=in_channels,
     )
 
 
@@ -226,7 +236,7 @@ class UNetRSSv2(nn.Module):
         C = self.num_classes
 
         def stage(xin, feat, bname, sname):
-            return _basic_spade_stage(xin, feat, C, ss, bname, sname, train)
+            return _basic_spade_stage(xin, feat, C, ss, bname, sname, train)[0]
 
         enc_0 = stage(x, f[0], "conv0_0", "SPADE0_0")
 
@@ -259,6 +269,10 @@ class UNetRSSv2(nn.Module):
 
         dec_1 = stage((enc_1, _up(dec_2)), f[1], "conv1_1", "SPADE1_1")
 
-        dec_0 = stage((enc_0, _up(dec_1)), f[0], "conv0_1", "SPADE0_1")
-
-        return _final_conv(self.num_classes)(dec_0)
+        # the final 1×1 conv rides the last fused stage (logits leave the
+        # kernel directly; the full-res dec_0 never hits HBM in eval)
+        _, logits = _basic_spade_stage(
+            (enc_0, _up(dec_1)), f[0], C, ss, "conv0_1", "SPADE0_1", train,
+            final_conv=_final_conv(self.num_classes, in_channels=f[0]),
+        )
+        return logits

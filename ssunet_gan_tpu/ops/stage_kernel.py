@@ -105,14 +105,16 @@ def fused_stage_supported(parts: Sequence[jax.Array], planes: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int):
+def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
+                 has_final: bool):
     def kernel(*refs):
-        # operand order: [xcur_p ×P] K1cat, K2SC, K1s, K2s, K3s, out,
-        #                [scratch_p ×P]
+        # operand order: [xcur_p ×P] K1cat, K2SC, K1s, K2s, K3s, [KF],
+        #                out, [scratch_p ×P]
         xcur = refs[:n_parts]
         k1_ref, k2sc_ref, k1s_ref, k2s_ref, k3s_ref = refs[n_parts : n_parts + 5]
-        o_ref = refs[n_parts + 5]
-        scratch = refs[n_parts + 6 :]
+        kf_ref = refs[n_parts + 5] if has_final else None
+        o_ref = refs[n_parts + 5 + int(has_final)]
+        scratch = refs[n_parts + 6 + int(has_final) :]
 
         i = pl.program_id(1)
         dtype = o_ref.dtype
@@ -155,9 +157,21 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int):
             y = jax.nn.relu(jnp.stack(y_rows, axis=0)).astype(dtype)
             y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
 
-            o_ref[:] = _spade_tail(
+            out = _spade_tail(
                 y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype
             )
+            if not has_final:
+                o_ref[:] = out
+            else:
+                # fold the model's final 1×1 conv in: the full-res stage
+                # output has no other consumer, so only logits leave VMEM
+                fin_rows = []
+                for t in range(th):
+                    xr = jnp.concatenate([out[t], ones_row], axis=0)
+                    fin_rows.append(
+                        jnp.dot(kf_ref[:], xr, preferred_element_type=jnp.float32)
+                    )
+                o_ref[:] = jnp.stack(fin_rows, axis=0).astype(dtype)
 
         # roll the scratch: keep the last th+5 rows of (scratch ∪ cur)
         for p in range(n_parts):
@@ -176,8 +190,10 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int):
     return kernel
 
 
-def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int):
-    """parts_v: list of (N, H, Cp, W) views; returns (N, H, C, W)."""
+def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None):
+    """parts_v: list of (N, H, Cp, W) views; returns (N, H, C_out, W)
+    where C_out is the stage width, or the final head's class count when
+    ``KF`` folds the model's last 1×1 conv in."""
     n, h, _, w = parts_v[0].shape
     c = K2SC.shape[0]
     n_parts = len(parts_v)
@@ -185,6 +201,7 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int):
     nh = h // th
     grid = (n, nh + 1)
     dtype = parts_v[0].dtype
+    c_out = c if KF is None else KF.shape[0]
 
     def cur_spec(p):
         return pl.BlockSpec(
@@ -197,26 +214,26 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int):
         shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM
     )
 
+    weights = [K1cat, K2SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
     return pl.pallas_call(
-        _make_kernel(n_parts, th, c, w, part_ch, h),
+        _make_kernel(n_parts, th, c, w, part_ch, h, KF is not None),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
-            + [const(K1cat.shape), const(K2SC.shape), const(K1s.shape),
-               const(K2s.shape), const(K3s.shape)]
+            + [const(wt.shape) for wt in weights]
         ),
         out_specs=pl.BlockSpec(
-            (None, th, c, w),
+            (None, th, c_out, w),
             lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h, c, w), dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), dtype),
         scratch_shapes=[
             pltpu.VMEM((th + 5, part_ch[p], w), dtype) for p in range(n_parts)
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(*parts_v, K1cat, K2SC, K1s, K2s, K3s)
+    )(*parts_v, *weights)
 
 
 # ---------------------------------------------------------------------------
@@ -228,12 +245,16 @@ def fused_eval_stage(
     parts: Sequence[jax.Array],
     block_bundle: Tuple,
     spade_bundle: Tuple,
+    final_head: Optional[Tuple] = None,
 ) -> jax.Array:
     """Eval-mode BasicBlock + self-SPADE stage as one Pallas program.
 
     ``block_bundle`` comes from ``BasicBlock.__call__(None, ...)``:
     ``(k1, (s1, t1), k2, (s2, t2), ks)`` with the BN eval affines;
-    ``spade_bundle`` from ``SPADE.__call__(None, None)``.
+    ``spade_bundle`` from ``SPADE.__call__(None, None)``. ``final_head``
+    (kernel (1,1,C,ncls), bias) folds the model's final 1×1 conv in and
+    makes the LOGITS the kernel's only output (the full-res stage output
+    never leaves VMEM).
     """
     k1, (s1, t1), k2, (s2, t2), ks = block_bundle
     k1s, b1s, k2s, b2s, kgs, bgs, kbs, bbs = spade_bundle
@@ -280,9 +301,16 @@ def fused_eval_stage(
         axis=0,
     ).astype(dtype)
 
+    KF = None
+    if final_head is not None:
+        kf, bf = final_head
+        KF = jnp.concatenate(
+            [kf[0, 0].T, bf.reshape(kf.shape[-1], 1)], axis=1
+        ).astype(dtype)  # (ncls, C+1)
+
     parts_v = [jnp.swapaxes(p, 2, 3) for p in parts]  # (N, H, Cp, W)
     h, w = parts_v[0].shape[1], parts_v[0].shape[3]
     th = _pick_th(h, w, c, [p.shape[-1] for p in parts])
     assert th is not None, "caller must gate with fused_stage_supported"
-    outv = _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th)
+    outv = _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th, KF=KF)
     return jnp.swapaxes(outv, 2, 3)
