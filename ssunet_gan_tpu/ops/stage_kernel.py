@@ -70,19 +70,24 @@ def fused_stage_enabled() -> bool:
 _VMEM_LIMIT = 28 * 1024 * 1024  # raised scoped-VMEM cap for the fat stages
 
 
-def _pick_th(h: int, w: int, c: int, part_ch) -> Optional[int]:
+def _pick_th(h: int, w: int, c: int, part_ch, itemsize: int = 2) -> Optional[int]:
     """The band height is fixed at 8 (the rolling-halo lookahead needs
     th ≥ 5 rows from exactly one future block); this only checks that the
-    working set fits the raised scoped-VMEM cap."""
+    working set fits the raised scoped-VMEM cap for the activation dtype."""
     th = 8
     if h % th:
         return None
     # per part: rolling scratch + double-buffered cur block + xh slab
-    parts_b = sum(((th + 5) + 2 * th + (th + 10)) * cp * w * 2 for cp in part_ch)
-    # h1 (f32 acc + bf16), h2/y (f32 + bf16), spade gb, out (×2 buf)
-    mid_b = (th + 8) * c * w * 6 + (th + 6) * c * w * 6 \
-        + th * 2 * c * w * 2 + 2 * th * c * w * 2
-    return th if parts_b + mid_b < 0.8 * _VMEM_LIMIT else None
+    parts_b = sum(
+        ((th + 5) + 2 * th + (th + 10)) * cp * w * itemsize for cp in part_ch
+    )
+    # h1 (f32 acc + dtype), h2/y (f32 + dtype), spade gb, out (×2 buf)
+    mid_b = (th + 8) * c * w * (4 + itemsize) + (th + 6) * c * w * (4 + itemsize) \
+        + th * 2 * c * w * itemsize + 2 * th * c * w * itemsize
+    # the sum over-counts ~2× vs the compiler's scheduled liveness (measured:
+    # every flagship stage incl. f32 fits the 28 MB cap); 1.2× is the
+    # guard-band for genuinely oversized configs
+    return th if parts_b + mid_b < 1.2 * _VMEM_LIMIT else None
 
 
 def fused_stage_supported(parts: Sequence[jax.Array], planes: int) -> bool:
@@ -97,7 +102,11 @@ def fused_stage_supported(parts: Sequence[jax.Array], planes: int) -> bool:
         and h >= 8
         and w >= min_w
         and planes <= 256
-        and _pick_th(h, w, planes, [p.shape[-1] for p in parts]) is not None
+        and _pick_th(
+            h, w, planes, [p.shape[-1] for p in parts],
+            parts[0].dtype.itemsize,
+        )
+        is not None
     )
 
 
@@ -311,7 +320,7 @@ def fused_eval_stage(
 
     parts_v = [jnp.swapaxes(p, 2, 3) for p in parts]  # (N, H, Cp, W)
     h, w = parts_v[0].shape[1], parts_v[0].shape[3]
-    th = _pick_th(h, w, c, [p.shape[-1] for p in parts])
+    th = _pick_th(h, w, c, [p.shape[-1] for p in parts], dtype.itemsize)
     assert th is not None, "caller must gate with fused_stage_supported"
     outv = _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th, KF=KF)
     return jnp.swapaxes(outv, 2, 3)
