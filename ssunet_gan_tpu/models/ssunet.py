@@ -179,35 +179,27 @@ class UNetRSS(nn.Module):
         ss = 16  # archs.py:484
         C = self.num_classes
 
-        def spade(i, name):
-            return SPADE(SPADE_CONTEXT, f[i], C, f[i] / ss, name=name)
+        def stage(xin, feat, bname, sname):
+            return _basic_spade_stage(xin, feat, C, ss, bname, sname, train)[0]
 
-        x0_0 = maybe_remat(BasicBlock)(f[0], name="conv0_0")(x, train)
-        x0_0 = spade(0, "SPADE0_0")(x0_0, x0_0)
-        x1_0 = maybe_remat(BasicBlock)(f[1], name="conv1_0")(max_pool_2x2(x0_0), train)
-        x1_0 = spade(1, "SPADE1_0")(x1_0, x1_0)
-        x2_0 = maybe_remat(BasicBlock)(f[2], name="conv2_0")(max_pool_2x2(x1_0), train)
-        x2_0 = spade(2, "SPADE2_0")(x2_0, x2_0)
-        x3_0 = maybe_remat(BasicBlock)(f[3], name="conv3_0")(max_pool_2x2(x2_0), train)
-        x3_0 = spade(3, "SPADE3_0")(x3_0, x3_0)
-        x4_0 = maybe_remat(BasicBlock)(f[4], name="conv4_0")(max_pool_2x2(x3_0), train)
-        x4_0 = spade(4, "SPADE4_0")(x4_0, x4_0)
+        x0_0 = stage(x, f[0], "conv0_0", "SPADE0_0")
+        x1_0 = stage(max_pool_2x2(x0_0), f[1], "conv1_0", "SPADE1_0")
+        x2_0 = stage(max_pool_2x2(x1_0), f[2], "conv2_0", "SPADE2_0")
+        x3_0 = stage(max_pool_2x2(x2_0), f[3], "conv3_0", "SPADE3_0")
+        x4_0 = stage(max_pool_2x2(x3_0), f[4], "conv4_0", "SPADE4_0")
 
-        x5_0 = maybe_remat(BasicBlock)(f[5], name="conv5_0")(max_pool_2x2(x4_0), train)
-        x5_0 = spade(5, "SPADE5_0")(x5_0, x5_0)
-        x4_1 = maybe_remat(BasicBlock)(f[4], name="conv4_1")((x4_0, _up(x5_0)), train)
-        x4_1 = spade(4, "SPADE4_1")(x4_1, x4_1)
-        x3_1 = maybe_remat(BasicBlock)(f[3], name="conv3_1")((x3_0, _up(x4_1)), train)
+        x5_0 = stage(max_pool_2x2(x4_0), f[5], "conv5_0", "SPADE5_0")
+        x4_1 = stage((x4_0, _up(x5_0)), f[4], "conv4_1", "SPADE4_1")
+        x3_1 = stage((x3_0, _up(x4_1)), f[3], "conv3_1", "SPADE3_1")
+        x2_2 = stage((x2_0, _up(x3_1)), f[2], "conv2_2", "SPADE2_2")
+        x1_3 = stage((x1_0, _up(x2_2)), f[1], "conv1_3", "SPADE1_3")
 
-        x3_1 = spade(3, "SPADE3_1")(x3_1, x3_1)
-        x2_2 = maybe_remat(BasicBlock)(f[2], name="conv2_2")((x2_0, _up(x3_1)), train)
-        x2_2 = spade(2, "SPADE2_2")(x2_2, x2_2)
-        x1_3 = maybe_remat(BasicBlock)(f[1], name="conv1_3")((x1_0, _up(x2_2)), train)
-        x1_3 = spade(1, "SPADE1_3")(x1_3, x1_3)
-        x0_4 = maybe_remat(BasicBlock)(f[0], name="conv0_4")((x0_0, _up(x1_3)), train)
-        x0_4 = spade(0, "SPADE0_4")(x0_4, x0_4)
-
-        return _final_conv(self.num_classes)(x0_4)
+        # the final 1×1 conv rides the last fused stage in eval
+        _, logits = _basic_spade_stage(
+            (x0_0, _up(x1_3)), f[0], C, ss, "conv0_4", "SPADE0_4", train,
+            final_conv=_final_conv(self.num_classes, in_channels=f[0]),
+        )
+        return logits
 
 
 class UNetRSSv2(nn.Module):

@@ -127,3 +127,23 @@ def test_flagship_fused_stage_model_parity(rng):
     set_fused_stage(False)
     t2 = model.apply(variables, x, True, mutable=["batch_stats"])[0]
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t2))
+
+
+def test_unet_r_ss_fused_stage_model_parity(rng):
+    """UNet_R_SS (non-v2 sibling) eval forward: fused vs composition."""
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    model = build_model("UNet_R_SS", num_classes=3, input_channels=3)
+
+    set_fused_stage(False)
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+    want = model.apply(variables, x, False)
+
+    set_fused_stage(True)
+    variables2 = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(
+        variables2
+    )
+    got = model.apply(variables2, x, False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
