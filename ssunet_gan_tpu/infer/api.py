@@ -158,10 +158,16 @@ def patch_and_preprocess(img_input: np.ndarray, mask_input: np.ndarray, config: 
     )
 
     def prep(idx: int) -> None:
-        img = cv2.resize(image_patches[idx], (img_size, img_size))
+        # cv2.resize takes (width, height); the raw path must land exactly on
+        # the (input_h, input_w) buffer (non-square configs), while the float
+        # path mirrors the reference's square first resize (api:361) and lets
+        # the albumentations-equivalent Resize(h, w) fix the aspect after.
         if raw_uint8:
-            out[idx] = img
+            out[idx] = cv2.resize(
+                image_patches[idx], (config["input_w"], config["input_h"])
+            )
             return
+        img = cv2.resize(image_patches[idx], (img_size, img_size))
         img = val_tf(image=img)["image"]
         out[idx] = img.astype(np.float32) / 255.0  # reference's extra /255 (api:367)
 
@@ -200,9 +206,18 @@ def get_patched_input(img_path: str, config: Dict, gt_mask_flag: bool,
 # Jitted forward + device-resident variables, cached across scenes: a
 # val_patch run over many scenes must compile the flagship once, not per
 # scene, and must not re-transfer/re-replicate the weights per call
-# (round-1 VERDICT "what's weak" #4).  Keyed by (model, mesh, id(variables));
-# the host variables are kept referenced so ids stay valid.
+# (round-1 VERDICT "what's weak" #4).  Keyed by (model, mesh, id(variables),
+# fused-kernel modes); the host variables are kept referenced so ids stay
+# valid.  ``variables`` must be treated as immutable: reloading a checkpoint
+# must produce a NEW tree (every loader here does), or call
+# :func:`invalidate_forward_cache` after an in-place mutation.
 _FORWARD_CACHE: Dict = {}
+
+
+def invalidate_forward_cache() -> None:
+    """Drop cached jitted forwards + device weights (e.g. after mutating a
+    variables tree in place instead of rebuilding it)."""
+    _FORWARD_CACHE.clear()
 
 
 def _norm_consts():
@@ -218,7 +233,11 @@ def _norm_consts():
 
 
 def _get_forward(model, variables, mesh, normalize: bool = False):
-    key = (model, mesh, id(variables), normalize)
+    from ssunet_gan_tpu.ops.spade_kernel import fused_spade_mode
+    from ssunet_gan_tpu.ops.stage_kernel import fused_stage_enabled
+
+    key = (model, mesh, id(variables), normalize, fused_spade_mode(),
+           fused_stage_enabled())
     hit = _FORWARD_CACHE.get(key)
     if hit is not None:
         return hit[0], hit[1]
@@ -233,14 +252,27 @@ def _get_forward(model, variables, mesh, normalize: bool = False):
     if normalize:
         na, nb = _norm_consts()
 
-    @jax.jit
-    def forward(vs, x):
+    def apply_fn(vs, x):
         if normalize:  # uint8 tiles: normalization fused on device
             x = x.astype(jnp.float32) * na + nb
         out = model.apply(vs, x, False)
         if isinstance(out, (list, tuple)):
             out = out[-1]
         return jax.nn.sigmoid(out)
+
+    if mesh is not None:
+        # Under a mesh the batch is sharded over 'data'; the fused Pallas
+        # stage kernels have no SPMD partitioning rule, so run the whole
+        # forward as shard_map: each device traces the kernel on its LOCAL
+        # batch shard (eval forward has no cross-batch collectives).
+        from jax.sharding import PartitionSpec as P
+
+        apply_fn = jax.shard_map(
+            apply_fn, mesh=mesh, in_specs=(P(), P("data")),
+            out_specs=P("data"), check_vma=False,
+        )
+
+    forward = jax.jit(apply_fn)
 
     import sys
 
@@ -291,6 +323,55 @@ def _chunked_forward(model, variables, patches: np.ndarray, deep_supervision: bo
         outs.append(forward(x))
     probs = jnp.concatenate(outs)[:n]
     return probs
+
+
+def pipelined_scene_forward(model, variables, scene: np.ndarray, config: Dict,
+                            mesh=None):
+    """Whole-scene tile forward with host-prep / H2D / device overlap.
+
+    The plain path (``patch_and_preprocess`` → ``_chunked_forward``) fully
+    materializes every prepped tile before the first device byte moves; here
+    tile prep runs chunk-granular on worker threads while earlier chunks
+    transfer and execute (JAX dispatch is async, so the host loop never
+    blocks on the device until the caller consumes the result).  Tiles ship
+    as uint8 with the Normalize + /255 affine fused on device.
+
+    Returns (probs, coords, p_size) for :func:`merge_patches_device`.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    p_size = effective_patch_size(scene.shape[0], scene.shape[1],
+                                  config["patch_size"])
+    coords = grid_coords(scene.shape[0], scene.shape[1], p_size,
+                         config["patch_overlap"])
+    in_h, in_w = config["input_h"], config["input_w"]
+    fwd, dev_vars = _get_forward(model, variables, mesh, normalize=True)
+
+    chunk = INFER_BATCH
+    if mesh is not None:
+        from ssunet_gan_tpu.parallel import shard_batch
+
+        n_data = mesh.shape["data"]
+        chunk = max(INFER_BATCH // n_data * n_data, n_data)
+    n = len(coords)
+    n_pad = max((n + chunk - 1) // chunk, 1) * chunk
+
+    def prep_chunk(i0: int) -> np.ndarray:
+        out = np.zeros((chunk, in_h, in_w, 3), np.uint8)
+        for j in range(min(chunk, n - i0)):
+            y, x = coords[i0 + j]
+            out[j] = cv2.resize(scene[y : y + p_size, x : x + p_size],
+                                (in_w, in_h))
+        return out
+
+    outs = []
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        for fut in [ex.submit(prep_chunk, i0) for i0 in range(0, n_pad, chunk)]:
+            x = jnp.asarray(fut.result())
+            if mesh is not None:
+                x = shard_batch(mesh, x)
+            outs.append(fwd(dev_vars, x))
+    return jnp.concatenate(outs)[:n], coords, p_size
 
 
 def segmentation_inference(model, variables, img_input, img_patch_set,

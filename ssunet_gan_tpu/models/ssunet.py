@@ -28,6 +28,7 @@ from ssunet_gan_tpu.ops.conv import Conv2d, kaiming_uniform_fan_in_init
 from ssunet_gan_tpu.ops.stage_kernel import (
     fused_eval_stage,
     fused_stage_enabled,
+    fused_stage_probe_ok,
     fused_stage_supported,
 )
 from ssunet_gan_tpu.ops.pool import (
@@ -67,6 +68,10 @@ def _basic_spade_stage(x, planes, num_classes, ss, bname, sname, train,
         and fused_stage_enabled()
         and fused_stage_supported(parts, planes)
         and in_planes != planes  # BasicBlock's shortcut conv must exist
+        and fused_stage_probe_ok(
+            parts, planes, num_classes, int(max(planes / ss, 4)),
+            None if final_conv is None else num_classes,
+        )
     ):
         bp = BasicBlock(planes, in_planes=in_planes, name=bname)(None, False)
         sp = SPADE(*spade_args, name=sname)(None, None)

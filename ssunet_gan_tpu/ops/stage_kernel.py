@@ -69,14 +69,21 @@ def fused_stage_enabled() -> bool:
 
 _VMEM_LIMIT = 28 * 1024 * 1024  # raised scoped-VMEM cap for the fat stages
 
+# VMEM gate tiers. The byte-sum heuristic over-counts ~2× vs the compiler's
+# scheduled liveness, so three tiers replace a single folklore bound:
+#   est < _TRUST_BYTES   — the measured region (every flagship stage incl.
+#                          f32 sums to ≤ 23.2 MB and compiles + runs): accept.
+#   est < _REJECT_BYTES  — uncertain: PROBE-compile the kernel once for this
+#                          shape signature (cached); a Mosaic failure means a
+#                          clean fallback to the XLA composition, not a crash.
+#   otherwise            — reject without probing (a doomed Mosaic compile is
+#                          itself a remote-compiler crash risk).
+_TRUST_BYTES = 24 * 1024 * 1024
+_REJECT_BYTES = int(2.5 * _VMEM_LIMIT)
 
-def _pick_th(h: int, w: int, c: int, part_ch, itemsize: int = 2) -> Optional[int]:
-    """The band height is fixed at 8 (the rolling-halo lookahead needs
-    th ≥ 5 rows from exactly one future block); this only checks that the
-    working set fits the raised scoped-VMEM cap for the activation dtype."""
+
+def _vmem_estimate(h: int, w: int, c: int, part_ch, itemsize: int) -> int:
     th = 8
-    if h % th:
-        return None
     # per part: rolling scratch + double-buffered cur block + xh slab
     parts_b = sum(
         ((th + 5) + 2 * th + (th + 10)) * cp * w * itemsize for cp in part_ch
@@ -84,10 +91,18 @@ def _pick_th(h: int, w: int, c: int, part_ch, itemsize: int = 2) -> Optional[int
     # h1 (f32 acc + dtype), h2/y (f32 + dtype), spade gb, out (×2 buf)
     mid_b = (th + 8) * c * w * (4 + itemsize) + (th + 6) * c * w * (4 + itemsize) \
         + th * 2 * c * w * itemsize + 2 * th * c * w * itemsize
-    # the sum over-counts ~2× vs the compiler's scheduled liveness (measured:
-    # every flagship stage incl. f32 fits the 28 MB cap); 1.2× is the
-    # guard-band for genuinely oversized configs
-    return th if parts_b + mid_b < 1.2 * _VMEM_LIMIT else None
+    return parts_b + mid_b
+
+
+def _pick_th(h: int, w: int, c: int, part_ch, itemsize: int = 2) -> Optional[int]:
+    """The band height is fixed at 8 (the rolling-halo lookahead needs
+    th ≥ 5 rows from exactly one future block); this only checks that the
+    working set is not hopeless for the activation dtype (the probe tier
+    handles the uncertain band — see the tier constants above)."""
+    th = 8
+    if h % th:
+        return None
+    return th if _vmem_estimate(h, w, c, part_ch, itemsize) < _REJECT_BYTES else None
 
 
 def fused_stage_supported(parts: Sequence[jax.Array], planes: int) -> bool:
@@ -108,6 +123,73 @@ def fused_stage_supported(parts: Sequence[jax.Array], planes: int) -> bool:
         )
         is not None
     )
+
+
+# Probe-compile verdicts, keyed by the kernel's full shape signature.
+_PROBE_CACHE: dict = {}
+
+
+def fused_stage_probe_ok(
+    parts: Sequence[jax.Array],
+    planes: int,
+    label_nc: int,
+    nhidden: int,
+    num_out: Optional[int] = None,
+) -> bool:
+    """Second-tier gate: trust the measured VMEM region, otherwise compile
+    the kernel once for this shape signature and cache the verdict.
+
+    Callers (the model stage dispatch) fall back to the XLA module
+    composition when this returns False — the failure mode the old
+    guard-band heuristic turned into a Mosaic compile crash."""
+    h, w = parts[0].shape[1], parts[0].shape[2]
+    part_ch = tuple(p.shape[-1] for p in parts)
+    dtype = parts[0].dtype
+    if _vmem_estimate(h, w, planes, part_ch, dtype.itemsize) < _TRUST_BYTES:
+        return True
+    key = (h, w, part_ch, planes, label_nc, nhidden, num_out, dtype.name)
+    if key not in _PROBE_CACHE:
+        _PROBE_CACHE[key] = _probe_compile(
+            h, w, part_ch, planes, label_nc, nhidden, num_out, dtype
+        )
+    return _PROBE_CACHE[key]
+
+
+def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype) -> bool:
+    if _interpret():
+        return True  # no Mosaic/VMEM on the interpreter path
+    s = jax.ShapeDtypeStruct
+    csum = sum(part_ch)
+    args = (
+        [s((1, h, cp, w), dtype) for cp in part_ch]
+        + [
+            s((c, 9 * csum + 1), dtype),       # K1cat
+            s((c, 9 * c + csum + 1), dtype),   # K2SC
+            s((lab, 9 * c + 1), dtype),        # K1s
+            s((nh, 9 * lab + 1), dtype),       # K2s
+            s((2 * c, 9 * nh + 1), dtype),     # K3s
+        ]
+        + ([] if num_out is None else [s((num_out, c + 1), dtype)])
+    )
+
+    def fn(*arrs):
+        pv = list(arrs[: len(part_ch)])
+        k1, k2sc, k1s, k2s, k3s = arrs[len(part_ch) : len(part_ch) + 5]
+        kf = arrs[len(part_ch) + 5] if num_out is not None else None
+        return _stage_call(pv, k1, k2sc, k1s, k2s, k3s, 8, KF=kf)
+
+    try:
+        jax.jit(fn).lower(*args).compile()
+        return True
+    except Exception as e:  # Mosaic RESOURCE_EXHAUSTED / lowering failures
+        import sys
+
+        print(
+            "fused-stage probe failed for shape %s (%s); using XLA fallback"
+            % ((h, w, part_ch, c), type(e).__name__),
+            file=sys.stderr,
+        )
+        return False
 
 
 # ---------------------------------------------------------------------------

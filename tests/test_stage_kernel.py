@@ -147,3 +147,49 @@ def test_unet_r_ss_fused_stage_model_parity(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
     )
+
+
+def test_probe_gate_falls_back_cleanly(rng, monkeypatch):
+    """A shape in the uncertain VMEM band whose probe-compile fails must
+    route the stage to the XLA composition, not crash (r2 VERDICT weak #6:
+    the old guard-band heuristic turned this into a Mosaic compile crash)."""
+    from ssunet_gan_tpu.ops import stage_kernel
+
+    calls = []
+
+    def failing_probe(*args):
+        calls.append(args)
+        return False
+
+    # force every shape into the probe tier, and make the probe "fail"
+    monkeypatch.setattr(stage_kernel, "_TRUST_BYTES", 0)
+    monkeypatch.setattr(stage_kernel, "_probe_compile", failing_probe)
+    monkeypatch.setattr(stage_kernel, "_PROBE_CACHE", {})
+
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
+
+    set_fused_stage(False)
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+    want = model.apply(variables, x, False)
+
+    set_fused_stage(True)  # enabled, but every probe fails → XLA path
+    got = model.apply(variables, x, False)
+    assert calls, "probe tier was never consulted"
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_probe_verdicts_are_cached(rng, monkeypatch):
+    from ssunet_gan_tpu.ops import stage_kernel
+
+    calls = []
+    monkeypatch.setattr(stage_kernel, "_TRUST_BYTES", 0)
+    monkeypatch.setattr(
+        stage_kernel, "_probe_compile", lambda *a: calls.append(a) or True
+    )
+    monkeypatch.setattr(stage_kernel, "_PROBE_CACHE", {})
+
+    parts = (jnp.zeros((1, 16, 16, 8), jnp.float32),)
+    for _ in range(3):
+        assert stage_kernel.fused_stage_probe_ok(parts, 16, 3, 4)
+    assert len(calls) == 1

@@ -238,3 +238,35 @@ def test_uint8_device_normalize_matches_host_path(rng):
     np.testing.assert_allclose(
         np.asarray(out_host), np.asarray(out_raw), rtol=1e-5, atol=1e-6
     )
+
+
+def test_pipelined_scene_forward_matches_plain_path(rng):
+    """The overlapped prep/H2D/compute pipeline must produce the same probs
+    as patch_and_preprocess(raw_uint8) -> _chunked_forward."""
+    import jax
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from ssunet_gan_tpu.infer.api import (
+        _chunked_forward,
+        patch_and_preprocess,
+        pipelined_scene_forward,
+    )
+    from ssunet_gan_tpu.ops.conv import Conv2d
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            return Conv2d(2, 3, padding=1, name="c")(x)
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), False)
+    config = {"patch_size": 64, "input_w": 32, "input_h": 32,
+              "patch_overlap": 0.5, "num_classes": 2, "deep_supervision": False}
+    scene = rng.integers(0, 255, (128, 160, 3), np.uint8)
+
+    patches, _ = patch_and_preprocess(scene, scene, config, raw_uint8=True)
+    want = np.asarray(_chunked_forward(model, variables, patches, False))
+    got, coords, p_size = pipelined_scene_forward(model, variables, scene, config)
+    assert p_size == 64 and len(coords) == len(want)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
