@@ -169,7 +169,8 @@ def _grid_geometry(img_h: int, img_w: int, p_size: int, overlap: float):
 
 @functools.lru_cache(maxsize=8)
 def _merge_grid_jit(scene_h: int, scene_w: int, in_size: int, p_size: int,
-                    num_classes: int, step: int, i_w: int, i_h: int):
+                    num_classes: int, step: int, i_w: int, i_h: int,
+                    mesh=None):
     """O(canvas) overlap-add merge for the structured 4-pass grid.
 
     The scan-based merge (:func:`_merge_jit`) is O(N_patches × canvas) —
@@ -212,6 +213,19 @@ def _merge_grid_jit(scene_h: int, scene_w: int, in_size: int, p_size: int,
         ((slice(None, None, -1), slice(None)), 0, ox_br),         # TR
     ]
 
+    # Spatial-axis sharding (docs/ROADMAP "sharded merge canvases"): with a
+    # mesh, the sum/coverage canvases shard ROW-wise over the 'data' axis —
+    # scene size is then bounded by the mesh's aggregate HBM, not one
+    # chip's.  The overlap-adds are static-slice adds, so XLA's SPMD
+    # partitioner lowers the cross-shard rows to halo exchanges on ICI.
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rows_sharding = NamedSharding(mesh, P("data"))
+        constrain = lambda x: jax.lax.with_sharding_constraint(x, rows_sharding)
+    else:
+        constrain = lambda x: x
+
     def merge(probs: jax.Array) -> jax.Array:
         q_ = jnp.floor(probs.astype(jnp.float32) * 255.0)
         q_ = jnp.einsum("ph,nhwc->npwc", rm, q_)
@@ -219,12 +233,12 @@ def _merge_grid_jit(scene_h: int, scene_w: int, in_size: int, p_size: int,
         binary = (q_ > 127.0).astype(jnp.float32)
 
         passes = binary.reshape(4, i_w, i_h, p_size, p_size, num_classes)
-        canvas = jnp.zeros((scene_h, scene_w, num_classes), jnp.float32)
-        cover = jnp.zeros((scene_h, scene_w, 1), jnp.float32)
+        canvas = constrain(jnp.zeros((scene_h, scene_w, num_classes), jnp.float32))
+        cover = constrain(jnp.zeros((scene_h, scene_w, 1), jnp.float32))
         ones = jnp.ones((i_w, i_h, p_size, p_size, 1), jnp.float32)
         for k, ((si, sj), oy, ox) in enumerate(PASS_SPECS):
-            canvas = accumulate(canvas, passes[k][si, sj], oy, ox)
-            cover = accumulate(cover, ones, oy, ox)
+            canvas = constrain(accumulate(canvas, passes[k][si, sj], oy, ox))
+            cover = constrain(accumulate(cover, ones, oy, ox))
 
         cover = jnp.where(cover == 0, 1.0, cover)
         avg = canvas / cover
@@ -242,18 +256,21 @@ def merge_patches_device(
     p_size: int,
     num_classes: int,
     overlap: Optional[float] = None,
+    mesh=None,
 ) -> np.ndarray:
     """Device-resident patch_merge: returns the (H, W, C) uint8 {0,255} mask.
 
     With ``overlap`` given and ``p_size`` divisible by the grid step, the
     O(canvas) overlap-add fast path runs; otherwise the general scan.
+    ``mesh`` (fast path only) shards the canvases row-wise over the 'data'
+    axis for scenes larger than one chip's HBM.
     """
     in_size = int(probs.shape[1])
     if overlap is not None:
         step, i_w, i_h = _grid_geometry(scene_h, scene_w, p_size, overlap)
         if p_size % step == 0 and len(probs) == 4 * i_w * i_h:
             fn = _merge_grid_jit(scene_h, scene_w, in_size, p_size, num_classes,
-                                 step, i_w, i_h)
+                                 step, i_w, i_h, mesh=mesh)
             return np.asarray(jax.device_get(fn(jnp.asarray(probs))))
     fn = _merge_jit(scene_h, scene_w, in_size, p_size, num_classes)
     out = fn(jnp.asarray(probs), jnp.asarray(coords, jnp.int32))

@@ -77,6 +77,10 @@ def load_segmentation_models(config_file: str):
         from ssunet_gan_tpu.ops.spade_kernel import set_fused_spade
 
         set_fused_spade(bool(config["fused_spade"]))
+    if "int8" in config:
+        from ssunet_gan_tpu.ops.stage_kernel_int8 import set_int8_stage
+
+        set_int8_stage(bool(config["int8"]))
 
     print("=> creating model %s" % config["arch"])
     model = build_model(
@@ -235,9 +239,10 @@ def _norm_consts():
 def _get_forward(model, variables, mesh, normalize: bool = False):
     from ssunet_gan_tpu.ops.spade_kernel import fused_spade_mode
     from ssunet_gan_tpu.ops.stage_kernel import fused_stage_enabled
+    from ssunet_gan_tpu.ops.stage_kernel_int8 import int8_stage_enabled
 
     key = (model, mesh, id(variables), normalize, fused_spade_mode(),
-           fused_stage_enabled())
+           fused_stage_enabled(), int8_stage_enabled())
     hit = _FORWARD_CACHE.get(key)
     if hit is not None:
         return hit[0], hit[1]
@@ -394,7 +399,7 @@ def segmentation_inference(model, variables, img_input, img_patch_set,
         model, variables, img_patch_set, bool(config["deep_supervision"]), mesh=mesh
     )
     merged = merge_patches_device(probs, coords, h, w, patch_size, num_classes,
-                                  overlap=p_overlap)
+                                  overlap=p_overlap, mesh=mesh)
     all_class_mask = [merged[..., c] for c in range(num_classes)]
 
     if gt_mask_flag:

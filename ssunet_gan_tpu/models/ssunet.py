@@ -26,11 +26,22 @@ from flax import linen as nn
 from ssunet_gan_tpu.ops.blocks import BasicBlock, Bottleneck, VGGBlock, maybe_remat
 from ssunet_gan_tpu.ops.conv import Conv2d, kaiming_uniform_fan_in_init
 from ssunet_gan_tpu.ops.stage_kernel import (
+    fused_bneck_supported,
     fused_eval_stage,
+    fused_eval_stage_bneck,
     fused_stage_enabled,
     fused_stage_probe_ok,
     fused_stage_supported,
 )
+from ssunet_gan_tpu.ops.stage_kernel_int8 import (
+    fused_eval_stage_int8,
+    int8_stage_enabled,
+)
+from ssunet_gan_tpu.ops.stage_kernel_train import (
+    fused_train_enabled,
+    fused_train_stage,
+)
+from ssunet_gan_tpu.ops import blocks as blocks_mod
 from ssunet_gan_tpu.ops.pool import (
     max_pool_2x2,
     max_pool_2x2_with_indices,
@@ -46,14 +57,19 @@ def _up(x: jax.Array) -> jax.Array:
     return upsample_bilinear(x, 2, align_corners=True)
 
 
-def _basic_spade_stage(x, planes, num_classes, ss, bname, sname, train,
-                       final_conv=None):
-    """One flagship stage: BasicBlock + self-SPADE.
+def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
+                 final_conv=None, block: str = "basic"):
+    """One ss-UNet stage: conv block + self-SPADE.
+
+    ``block`` selects the conv block: ``"basic"`` (BasicBlock, the R_SS
+    family) or ``"vgg"`` (VGGBlock, SSUNet) — a VGG stage is the BasicBlock
+    stage with a zero shortcut, so both share the same fused kernels.
 
     In eval mode with the fused-stage kernel enabled, the whole stage runs
-    as one Pallas program (ops/stage_kernel.py); otherwise the standard
-    module composition. Both branches declare the identical parameter tree
-    (the fused branch uses the modules' param-fetch paths).
+    as one Pallas program (ops/stage_kernel.py, or the int8 variant when
+    the int8 mode is on); otherwise the standard module composition. Both
+    branches declare the identical parameter tree (the fused branch uses
+    the modules' param-fetch paths).
 
     ``final_conv`` (a 1×1 Conv2d module) marks the model's LAST stage: the
     fused kernel folds it in and emits logits directly (the full-res stage
@@ -64,23 +80,73 @@ def _basic_spade_stage(x, planes, num_classes, ss, bname, sname, train,
     in_planes = sum(p.shape[-1] for p in parts)
     spade_args = (SPADE_CONTEXT, planes, num_classes, planes / ss)
     if (
-        not train
-        and fused_stage_enabled()
+        train
+        and block == "basic"
+        and fused_train_enabled()
+        and not blocks_mod._REMAT  # remat path bounds memory via the modules
         and fused_stage_supported(parts, planes)
-        and in_planes != planes  # BasicBlock's shortcut conv must exist
+        and in_planes != planes
         and fused_stage_probe_ok(
             parts, planes, num_classes, int(max(planes / ss, 4)),
             None if final_conv is None else num_classes,
         )
     ):
-        bp = BasicBlock(planes, in_planes=in_planes, name=bname)(None, False)
+        bb = BasicBlock(planes, in_planes=in_planes, name=bname)
+        bp = bb(None, True)
         sp = SPADE(*spade_args, name=sname)(None, None)
         head = None if final_conv is None else final_conv(None)
-        out = fused_eval_stage(parts, bp, sp, final_head=head)
+        out, stats = fused_train_stage(parts, bp, sp, head)
+        bb(None, True, stats=stats)  # running-average updates (torch 0.1)
         return (out, None) if final_conv is None else (None, out)
-    y = maybe_remat(BasicBlock)(planes, name=bname)(x, train)
+    if (
+        not train
+        and block == "bneck"
+        and fused_stage_enabled()
+        and not int8_stage_enabled()  # int8 covers the BasicBlock/VGG dots
+        and fused_bneck_supported(parts, planes)
+    ):
+        bp = Bottleneck(planes, in_planes=in_planes, name=bname)(None, False)
+        sp = SPADE(*spade_args, name=sname)(None, None)
+        head = None if final_conv is None else final_conv(None)
+        out = fused_eval_stage_bneck(parts, bp, sp, final_head=head)
+        return (out, None) if final_conv is None else (None, out)
+    if (
+        not train
+        and block in ("basic", "vgg")
+        and fused_stage_enabled()
+        and fused_stage_supported(parts, planes)
+        # BasicBlock's shortcut conv must exist for the fused packing;
+        # VGG stages have no shortcut at all (zero columns)
+        and (block == "vgg" or in_planes != planes)
+        and fused_stage_probe_ok(
+            parts, planes, num_classes, int(max(planes / ss, 4)),
+            None if final_conv is None else num_classes,
+        )
+    ):
+        if block == "vgg":
+            bp = VGGBlock(planes, planes, in_channels=in_planes,
+                          name=bname)(None, False)
+        else:
+            bp = BasicBlock(planes, in_planes=in_planes, name=bname)(None, False)
+        sp = SPADE(*spade_args, name=sname)(None, None)
+        head = None if final_conv is None else final_conv(None)
+        if int8_stage_enabled():
+            out = fused_eval_stage_int8(parts, bp, sp, final_head=head)
+        else:
+            out = fused_eval_stage(parts, bp, sp, final_head=head)
+        return (out, None) if final_conv is None else (None, out)
+    if block == "vgg":
+        y = maybe_remat(VGGBlock)(planes, planes, name=bname)(x, train)
+    elif block == "bneck":
+        y = maybe_remat(Bottleneck)(planes, name=bname)(x, train)
+    else:
+        y = maybe_remat(BasicBlock)(planes, name=bname)(x, train)
     y = SPADE(*spade_args, name=sname)(y, y)
     return (y, None) if final_conv is None else (y, final_conv(y))
+
+
+# backward-compat alias (r2 name)
+_basic_spade_stage = _spade_stage
 
 
 def _final_conv(num_classes: int, name: str = "final", in_channels=None) -> Conv2d:
@@ -105,30 +171,28 @@ class SSUNet(nn.Module):
         ss = 4  # archs.py:689
         C = self.num_classes
 
-        def spade(i, name):
-            return SPADE(SPADE_CONTEXT, f[i], C, f[i] / ss, name=name)
+        def stage(xin, i, bname, sname):
+            return _spade_stage(xin, f[i], C, ss, bname, sname, train,
+                                block="vgg")[0]
 
-        x0_0 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_0")(x, train)
-        x0_0 = spade(0, "SPADE0_0")(x0_0, x0_0)
-        x1_0 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_0")(max_pool_2x2(x0_0), train)
-        x1_0 = spade(1, "SPADE1_0")(x1_0, x1_0)
-        x2_0 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_0")(max_pool_2x2(x1_0), train)
-        x2_0 = spade(2, "SPADE2_0")(x2_0, x2_0)
-        x3_0 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_0")(max_pool_2x2(x2_0), train)
-        x3_0 = spade(3, "SPADE3_0")(x3_0, x3_0)
-        x4_0 = maybe_remat(VGGBlock)(f[4], f[4], name="conv4_0")(max_pool_2x2(x3_0), train)
-        x4_0 = spade(4, "SPADE4_0")(x4_0, x4_0)
+        x0_0 = stage(x, 0, "conv0_0", "SPADE0_0")
+        x1_0 = stage(max_pool_2x2(x0_0), 1, "conv1_0", "SPADE1_0")
+        x2_0 = stage(max_pool_2x2(x1_0), 2, "conv2_0", "SPADE2_0")
+        x3_0 = stage(max_pool_2x2(x2_0), 3, "conv3_0", "SPADE3_0")
+        x4_0 = stage(max_pool_2x2(x3_0), 4, "conv4_0", "SPADE4_0")
 
-        x3_1 = maybe_remat(VGGBlock)(f[3], f[3], name="conv3_1")((x3_0, _up(x4_0)), train)
-        x3_1 = spade(3, "SPADE3_1")(x3_1, x3_1)
-        x2_2 = maybe_remat(VGGBlock)(f[2], f[2], name="conv2_2")((x2_0, _up(x3_1)), train)
-        x2_2 = spade(2, "SPADE2_2")(x2_2, x2_2)
-        x1_3 = maybe_remat(VGGBlock)(f[1], f[1], name="conv1_3")((x1_0, _up(x2_2)), train)
-        x1_3 = spade(1, "SPADE1_3")(x1_3, x1_3)
-        x0_4 = maybe_remat(VGGBlock)(f[0], f[0], name="conv0_4")((x0_0, _up(x1_3)), train)
-        x0_4 = spade(0, "SPADE0_4")(x0_4, x0_4)
+        x3_1 = stage((x3_0, _up(x4_0)), 3, "conv3_1", "SPADE3_1")
+        x2_2 = stage((x2_0, _up(x3_1)), 2, "conv2_2", "SPADE2_2")
+        x1_3 = stage((x1_0, _up(x2_2)), 1, "conv1_3", "SPADE1_3")
 
-        return Conv2d(self.num_classes, 1, name="final")(x0_4)
+        # the final 1×1 conv rides the last fused stage in eval
+        _, logits = _spade_stage(
+            (x0_0, _up(x1_3)), f[0], C, ss, "conv0_4", "SPADE0_4", train,
+            final_conv=Conv2d(self.num_classes, 1, name="final",
+                              in_channels=f[0]),
+            block="vgg",
+        )
+        return logits
 
 
 class UNetBSS(nn.Module):
@@ -144,30 +208,28 @@ class UNetBSS(nn.Module):
         ss = 16  # archs.py:357
         C = self.num_classes
 
-        def spade(i, name):
-            return SPADE(SPADE_CONTEXT, f[i], C, f[i] / ss, name=name)
+        def stage(xin, i, bname, sname):
+            return _spade_stage(xin, f[i], C, ss, bname, sname, train,
+                                block="bneck")[0]
 
-        x0_0 = maybe_remat(Bottleneck)(f[0], name="conv0_0")(x, train)
-        x0_0 = spade(0, "SPADE0_0")(x0_0, x0_0)
-        x1_0 = maybe_remat(Bottleneck)(f[1], name="conv1_0")(max_pool_2x2(x0_0), train)
-        x1_0 = spade(1, "SPADE1_0")(x1_0, x1_0)
-        x2_0 = maybe_remat(Bottleneck)(f[2], name="conv2_0")(max_pool_2x2(x1_0), train)
-        x2_0 = spade(2, "SPADE2_0")(x2_0, x2_0)
-        x3_0 = maybe_remat(Bottleneck)(f[3], name="conv3_0")(max_pool_2x2(x2_0), train)
-        x3_0 = spade(3, "SPADE3_0")(x3_0, x3_0)
-        x4_0 = maybe_remat(Bottleneck)(f[4], name="conv4_0")(max_pool_2x2(x3_0), train)
-        x4_0 = spade(4, "SPADE4_0")(x4_0, x4_0)
+        x0_0 = stage(x, 0, "conv0_0", "SPADE0_0")
+        x1_0 = stage(max_pool_2x2(x0_0), 1, "conv1_0", "SPADE1_0")
+        x2_0 = stage(max_pool_2x2(x1_0), 2, "conv2_0", "SPADE2_0")
+        x3_0 = stage(max_pool_2x2(x2_0), 3, "conv3_0", "SPADE3_0")
+        x4_0 = stage(max_pool_2x2(x3_0), 4, "conv4_0", "SPADE4_0")
 
-        x3_1 = maybe_remat(Bottleneck)(f[3], name="conv3_1")((x3_0, _up(x4_0)), train)
-        x3_1 = spade(3, "SPADE3_1")(x3_1, x3_1)
-        x2_2 = maybe_remat(Bottleneck)(f[2], name="conv2_2")((x2_0, _up(x3_1)), train)
-        x2_2 = spade(2, "SPADE2_2")(x2_2, x2_2)
-        x1_3 = maybe_remat(Bottleneck)(f[1], name="conv1_3")((x1_0, _up(x2_2)), train)
-        x1_3 = spade(1, "SPADE1_3")(x1_3, x1_3)
-        x0_4 = maybe_remat(Bottleneck)(f[0], name="conv0_4")((x0_0, _up(x1_3)), train)
-        x0_4 = spade(0, "SPADE0_4")(x0_4, x0_4)
+        x3_1 = stage((x3_0, _up(x4_0)), 3, "conv3_1", "SPADE3_1")
+        x2_2 = stage((x2_0, _up(x3_1)), 2, "conv2_2", "SPADE2_2")
+        x1_3 = stage((x1_0, _up(x2_2)), 1, "conv1_3", "SPADE1_3")
 
-        return Conv2d(self.num_classes, 1, name="final")(x0_4)
+        # the final 1×1 conv rides the last fused stage in eval
+        _, logits = _spade_stage(
+            (x0_0, _up(x1_3)), f[0], C, ss, "conv0_4", "SPADE0_4", train,
+            final_conv=Conv2d(self.num_classes, 1, name="final",
+                              in_channels=f[0]),
+            block="bneck",
+        )
+        return logits
 
 
 class UNetRSS(nn.Module):

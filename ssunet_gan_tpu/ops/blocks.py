@@ -55,18 +55,41 @@ def maybe_remat(block_cls):
 
 
 class VGGBlock(nn.Module):
-    """conv3-BN-ReLU ×2 with separate middle/out widths (archs.py:94-112)."""
+    """conv3-BN-ReLU ×2 with separate middle/out widths (archs.py:94-112).
+
+    ``__call__(None, ...)`` with ``in_channels`` set is the param-fetch path
+    used by the fused eval-stage kernel (a VGG stage is the BasicBlock stage
+    with a zero shortcut): returns ``(k1, (s1, t1'), k2, (s2, t2'), None)``
+    with the conv biases folded into the BN eval affines
+    (``t' = s·b + t``).
+    """
 
     middle_channels: int
     out_channels: int
+    in_channels: int = 0  # only needed for the x=None param-fetch path
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        x = Conv2d(self.middle_channels, 3, padding=1, name="conv1")(x)
-        x = BatchNorm(self.middle_channels, name="bn1")(x, train)
+    def __call__(self, x, train: bool = True):
+        conv1 = Conv2d(self.middle_channels, 3, padding=1,
+                       in_channels=self.in_channels or None, name="conv1")
+        bn1 = BatchNorm(self.middle_channels, name="bn1")
+        conv2 = Conv2d(self.out_channels, 3, padding=1,
+                       in_channels=self.middle_channels, name="conv2")
+        bn2 = BatchNorm(self.out_channels, name="bn2")
+
+        if x is None:
+            assert self.in_channels > 0, "x=None needs in_channels"
+            k1, b1 = conv1(None)
+            s1, t1 = bn1(None, train)
+            k2, b2 = conv2(None)
+            s2, t2 = bn2(None, train)
+            return k1, (s1, s1 * b1 + t1), k2, (s2, s2 * b2 + t2), None
+
+        x = conv1(x)
+        x = bn1(x, train)
         x = nn.relu(x)
-        x = Conv2d(self.out_channels, 3, padding=1, name="conv2")(x)
-        x = BatchNorm(self.out_channels, name="bn2")(x, train)
+        x = conv2(x)
+        x = bn2(x, train)
         return nn.relu(x)
 
 
@@ -144,7 +167,7 @@ class BasicBlock(nn.Module):
     in_planes: int = 0  # only needed for the x=None param-fetch path
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, stats=None):
         if x is None:
             in_planes = self.in_planes
             assert in_planes > 0, "x=None needs in_planes"
@@ -164,9 +187,17 @@ class BasicBlock(nn.Module):
                                    use_bias=False, in_channels=in_planes,
                                    name="shortcut_conv")
 
+        if x is None and stats is not None:
+            # fused-train stats-update path: write this step's batch stats
+            # into the BNs' running averages (second call on the same bound
+            # instance — same tree, no new params)
+            bn1(None, train, batch_stats=stats[0])
+            bn2(None, train, batch_stats=stats[1])
+            return None
+
         if x is None:
             k1, _ = conv1(None)
-            a1 = bn1(None, train)
+            a1 = bn1(None, train)  # eval: folded affine; train: raw (γ, β)
             k2, _ = conv2(None)
             a2 = bn2(None, train)
             ks = shortcut_conv(None)[0] if has_shortcut else None
@@ -185,26 +216,63 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """ResNet bottleneck with expansion 1 (archs.py:244-269)."""
+    """ResNet bottleneck with expansion 1 (archs.py:244-269).
+
+    ``__call__(None, ...)`` with ``in_planes`` set is the eval param-fetch
+    path for the fused bottleneck stage kernel: returns
+    ``(k1, (s1, t1), k2, (s2, t2), k3, (s3, t3), ks, (ss, ts))`` with every
+    BN folded to its eval affine (``ks``/``(ss, ts)`` are None when the
+    block has no projection shortcut).
+    """
 
     planes: int
     stride: int = 1
+    in_planes: int = 0  # only needed for the x=None param-fetch path
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> jax.Array:
-        parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
-        in_planes = sum(p.shape[-1] for p in parts)
-        out = Conv2d(self.planes, 1, use_bias=False, name="conv1")(x)
-        out = nn.relu(BatchNorm(self.planes, name="bn1")(out, train))
-        out = Conv2d(self.planes, 3, stride=self.stride, padding=1, use_bias=False, name="conv2")(out)
-        out = nn.relu(BatchNorm(self.planes, name="bn2")(out, train))
-        out = Conv2d(self.planes, 1, use_bias=False, name="conv3")(out)
-        out = BatchNorm(self.planes, name="bn3")(out, train)
-        if self.stride != 1 or in_planes != self.planes:
-            shortcut = Conv2d(
-                self.planes, 1, stride=self.stride, use_bias=False, name="shortcut_conv"
-            )(x)
-            shortcut = BatchNorm(self.planes, name="shortcut_bn")(shortcut, train)
+        if x is None:
+            in_planes = self.in_planes
+            assert in_planes > 0, "x=None needs in_planes"
+        else:
+            parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+            in_planes = sum(p.shape[-1] for p in parts)
+
+        conv1 = Conv2d(self.planes, 1, use_bias=False,
+                       in_channels=in_planes, name="conv1")
+        bn1 = BatchNorm(self.planes, name="bn1")
+        conv2 = Conv2d(self.planes, 3, stride=self.stride, padding=1,
+                       use_bias=False, in_channels=self.planes, name="conv2")
+        bn2 = BatchNorm(self.planes, name="bn2")
+        conv3 = Conv2d(self.planes, 1, use_bias=False,
+                       in_channels=self.planes, name="conv3")
+        bn3 = BatchNorm(self.planes, name="bn3")
+        has_shortcut = self.stride != 1 or in_planes != self.planes
+        if has_shortcut:
+            shortcut_conv = Conv2d(self.planes, 1, stride=self.stride,
+                                   use_bias=False, in_channels=in_planes,
+                                   name="shortcut_conv")
+            shortcut_bn = BatchNorm(self.planes, name="shortcut_bn")
+
+        if x is None:
+            k1, _ = conv1(None)
+            a1 = bn1(None, train)
+            k2, _ = conv2(None)
+            a2 = bn2(None, train)
+            k3, _ = conv3(None)
+            a3 = bn3(None, train)
+            ks = shortcut_conv(None)[0] if has_shortcut else None
+            asb = shortcut_bn(None, train) if has_shortcut else None
+            return k1, a1, k2, a2, k3, a3, ks, asb
+
+        out = conv1(x)
+        out = nn.relu(bn1(out, train))
+        out = conv2(out)
+        out = nn.relu(bn2(out, train))
+        out = conv3(out)
+        out = bn3(out, train)
+        if has_shortcut:
+            shortcut = shortcut_bn(shortcut_conv(x), train)
         else:
             shortcut = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
         return nn.relu(out + shortcut)

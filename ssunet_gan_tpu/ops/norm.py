@@ -47,7 +47,8 @@ class BatchNorm(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = True,
+                 batch_stats=None) -> jax.Array:
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
         )
@@ -59,7 +60,24 @@ class BatchNorm(nn.Module):
             scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
 
+        if x is None and batch_stats is not None:
+            # stats-update path for the fused TRAIN kernel: the kernel
+            # computed this step's batch (mean, unbiased var) out-of-module;
+            # apply the torch running-average update (momentum 0.1)
+            mean, unbiased_var = batch_stats
+            if not self.is_initializing():
+                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
+                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased_var
+            return None
+
         if x is None:
+            if train:
+                # raw param fetch for the fused TRAIN kernel (stats come
+                # from the data; running stats updated via batch_stats=...)
+                if self.affine:
+                    return scale, bias
+                return (jnp.ones((self.features,), jnp.float32),
+                        jnp.zeros((self.features,), jnp.float32))
             # param-fetch path for fused eval kernels: the folded per-channel
             # eval affine (y = x·k + b), identical math to the branch below
             inv = jax.lax.rsqrt(ra_var.value + self.eps)

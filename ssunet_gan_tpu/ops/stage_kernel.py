@@ -354,7 +354,6 @@ def fused_eval_stage(
     c = k2.shape[-1]
     lab = k1s.shape[-1]
     nh = k2s.shape[-1]
-    assert ks is not None, "fused stage expects a shortcut conv (in!=out)"
 
     # fold the BN eval affines into the conv weights / a bias column
     k1f = k1 * s1  # HWIO · (C,) broadcasts over the out axis
@@ -370,9 +369,15 @@ def fused_eval_stage(
         for pi in range(len(parts))
     ]
     K1cat = jnp.concatenate(k1_parts + [t1.reshape(c, 1)], axis=1).astype(dtype)
-    ks_parts = [
-        ks[0, 0, offs[pi] : offs[pi + 1], :].T for pi in range(len(parts))
-    ]
+    if ks is None:
+        # shortcut-free stage (VGGBlock): the kernel's conv2 row assembly
+        # always appends the x taps, so pack zero shortcut columns — the
+        # wasted contraction depth is ΣCp ≪ 9C
+        ks_parts = [jnp.zeros((c, p.shape[-1]), k2f.dtype) for p in parts]
+    else:
+        ks_parts = [
+            ks[0, 0, offs[pi] : offs[pi + 1], :].T for pi in range(len(parts))
+        ]
     # conv2 + shortcut + bn2 bias in one contraction: [9 taps of h1 | x | 1]
     K2SC = jnp.concatenate(
         [k2f.reshape(9 * c, c).T] + ks_parts + [t2.reshape(c, 1)], axis=1
@@ -405,4 +410,224 @@ def fused_eval_stage(
     th = _pick_th(h, w, c, [p.shape[-1] for p in parts], dtype.itemsize)
     assert th is not None, "caller must gate with fused_stage_supported"
     outv = _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th, KF=KF)
+    return jnp.swapaxes(outv, 2, 3)
+
+# ---------------------------------------------------------------------------
+# Bottleneck stage variant (UNet_B_SS, archs.py:346-406): conv1(1×1)-bn-relu
+# → conv2(3×3)-bn-relu → conv3(1×1)-bn (+shortcut conv+bn or identity) →
+# relu → self-SPADE — the same rolling-halo program with a per-row 1×1
+# prologue dot and conv3+shortcut+biases folded into ONE deep contraction
+# ([h2 | x parts | 1]).  Lookahead 4 (1 conv2 ring + 3 SPADE rings).
+# ---------------------------------------------------------------------------
+
+
+def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
+                       h_img: int, has_final: bool):
+    L = 4
+
+    def kernel(*refs):
+        xcur = refs[:n_parts]
+        k1b_ref, k2b_ref, k3sc_ref = refs[n_parts : n_parts + 3]
+        k1s_ref, k2s_ref, k3s_ref = refs[n_parts + 3 : n_parts + 6]
+        kf_ref = refs[n_parts + 6] if has_final else None
+        o_ref = refs[n_parts + 6 + int(has_final)]
+        scratch = refs[n_parts + 7 + int(has_final) :]
+
+        i = pl.program_id(1)
+        dtype = o_ref.dtype
+        cur = [xcur[p][:] for p in range(n_parts)]
+
+        @pl.when(i > 0)
+        def _compute():
+            g0 = (i - 1) * th - L  # global image row of xh row 0
+            xh_parts = [
+                _zero_outside_image(
+                    jnp.concatenate([scratch[p][:], cur[p][0:L]], axis=0),
+                    g0, h_img,
+                ).astype(dtype)
+                for p in range(n_parts)
+            ]
+            ones_row = jnp.ones((1, w), dtype)
+
+            # conv1 (1×1) + bn1 + relu, per-row dot over [x parts | 1]
+            h1_rows = []
+            for t in range(th + 2 * L):
+                xr = jnp.concatenate(
+                    [xh_parts[p][t] for p in range(n_parts)] + [ones_row], axis=0
+                )
+                h1_rows.append(
+                    jax.nn.relu(
+                        jnp.dot(k1b_ref[:], xr, preferred_element_type=jnp.float32)
+                    )
+                )
+            h1 = jnp.stack(h1_rows, axis=0).astype(dtype)
+            h1 = _zero_outside_image(h1, g0, h_img)  # (th+8, C, W)
+
+            # conv2 (3×3) + bn2 + relu
+            h2 = jax.nn.relu(
+                _conv3_rows([h1], k2b_ref[:], th + 6, dtype)
+            ).astype(dtype)
+            h2 = _zero_outside_image(h2, g0 + 1, h_img)  # (th+6, C, W)
+
+            # conv3 (1×1) + bn3 + shortcut(+bn / identity) + relu: one dot
+            # over [h2 | x parts | 1] (identity shortcut packs I_C columns)
+            y_rows = []
+            for t in range(th + 6):
+                # y row t is global row g0+1+t → x slab index t+1
+                xr = jnp.concatenate(
+                    [h2[t]]
+                    + [xh_parts[p][t + 1] for p in range(n_parts)]
+                    + [ones_row],
+                    axis=0,
+                )
+                y_rows.append(
+                    jnp.dot(k3sc_ref[:], xr, preferred_element_type=jnp.float32)
+                )
+            y = jax.nn.relu(jnp.stack(y_rows, axis=0)).astype(dtype)
+            y = _zero_outside_image(y, g0 + 1, h_img)
+
+            out = _spade_tail(
+                y, g0 + 1, h_img, k1s_ref, k2s_ref, k3s_ref, dtype
+            )
+            if not has_final:
+                o_ref[:] = out
+            else:
+                fin_rows = []
+                for t in range(th):
+                    xr = jnp.concatenate([out[t], ones_row], axis=0)
+                    fin_rows.append(
+                        jnp.dot(kf_ref[:], xr, preferred_element_type=jnp.float32)
+                    )
+                o_ref[:] = jnp.stack(fin_rows, axis=0).astype(dtype)
+
+        for p in range(n_parts):
+            tail = scratch[p][th:]
+
+            @pl.when(i == 0)
+            def _init(p=p):
+                scratch[p][0:L] = jnp.zeros_like(scratch[p][0:L])
+                scratch[p][L:] = cur[p]
+
+            @pl.when(i > 0)
+            def _roll(p=p, tail=tail):
+                scratch[p][0:L] = tail
+                scratch[p][L:] = cur[p]
+
+    return kernel
+
+
+def fused_bneck_supported(parts: Sequence[jax.Array], planes: int) -> bool:
+    """Gate for the bottleneck stage kernel: the eval-size constraints plus
+    the conservative (trust-tier-only) VMEM bound — this variant has no
+    probe path, so only the measured-safe region fuses."""
+    if not fused_stage_supported(parts, planes):
+        return False
+    h, w = parts[0].shape[1], parts[0].shape[2]
+    part_ch = [p.shape[-1] for p in parts]
+    est = _vmem_estimate(h, w, planes, part_ch, parts[0].dtype.itemsize)
+    # + the h1 slab this variant keeps live
+    est += (8 + 8) * planes * w * parts[0].dtype.itemsize
+    return est < _TRUST_BYTES
+
+
+def fused_eval_stage_bneck(
+    parts: Sequence[jax.Array],
+    block_bundle: Tuple,
+    spade_bundle: Tuple,
+    final_head: Optional[Tuple] = None,
+) -> jax.Array:
+    """Eval-mode Bottleneck + self-SPADE stage as one Pallas program.
+
+    ``block_bundle`` comes from ``Bottleneck.__call__(None, ...)``:
+    ``(k1, (s1, t1), k2, (s2, t2), k3, (s3, t3), ks, (ss, ts))`` with the
+    BN eval affines (``ks``/``(ss, ts)`` None ⇒ identity shortcut).
+    """
+    k1, (s1, t1), k2, (s2, t2), k3, (s3, t3), ks, asb = block_bundle
+    k1s, b1s, k2s, b2s, kgs, bgs, kbs, bbs = spade_bundle
+    dtype = parts[0].dtype
+    c = k2.shape[-1]
+    lab = k1s.shape[-1]
+    nh = k2s.shape[-1]
+
+    offs = [0]
+    for p in parts:
+        offs.append(offs[-1] + p.shape[-1])
+    csum = offs[-1]
+
+    K1B = jnp.concatenate(
+        [(k1[0, 0] * s1).T, t1.reshape(c, 1)], axis=1
+    ).astype(dtype)  # (C, ΣCp+1)
+    K2B = jnp.concatenate(
+        [(k2 * s2).reshape(9 * c, c).T, t2.reshape(c, 1)], axis=1
+    ).astype(dtype)  # (C, 9C+1)
+    if ks is None:
+        assert csum == c, "identity shortcut needs in_planes == planes"
+        sc_cols = jnp.eye(c, dtype=k3.dtype)
+        bias3 = t3
+    else:
+        ss, ts = asb
+        sc_cols = (ks[0, 0] * ss).T
+        bias3 = t3 + ts
+    K3SC = jnp.concatenate(
+        [(k3[0, 0] * s3).T, sc_cols, bias3.reshape(c, 1)], axis=1
+    ).astype(dtype)  # (C, C+ΣCp+1)
+
+    K1s = jnp.concatenate(
+        [k1s.reshape(9 * c, lab).T, b1s.reshape(lab, 1)], axis=1
+    ).astype(dtype)
+    K2s = jnp.concatenate(
+        [k2s.reshape(9 * lab, nh).T, b2s.reshape(nh, 1)], axis=1
+    ).astype(dtype)
+    K3s = jnp.concatenate(
+        [
+            jnp.concatenate([kgs.reshape(9 * nh, c).T, bgs.reshape(c, 1)], axis=1),
+            jnp.concatenate([kbs.reshape(9 * nh, c).T, bbs.reshape(c, 1)], axis=1),
+        ],
+        axis=0,
+    ).astype(dtype)
+    KF = None
+    if final_head is not None:
+        kf, bf = final_head
+        KF = jnp.concatenate(
+            [kf[0, 0].T, bf.reshape(kf.shape[-1], 1)], axis=1
+        ).astype(dtype)
+
+    parts_v = [jnp.swapaxes(p, 2, 3) for p in parts]
+    n, h, _, w = parts_v[0].shape
+    part_ch = tuple(p.shape[2] for p in parts_v)
+    th = 8
+    nh_grid = h // th
+    c_out = c if KF is None else KF.shape[0]
+
+    def cur_spec(p):
+        return pl.BlockSpec(
+            (None, th, part_ch[p], w),
+            lambda ni, hi: (ni, jnp.minimum(hi, nh_grid - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    weights = [K1B, K2B, K3SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
+    outv = pl.pallas_call(
+        _make_bneck_kernel(len(parts), th, c, w, part_ch, h, KF is not None),
+        grid=(n, nh_grid + 1),
+        in_specs=(
+            [cur_spec(p) for p in range(len(parts))]
+            + [const(wt.shape) for wt in weights]
+        ),
+        out_specs=pl.BlockSpec(
+            (None, th, c_out, w),
+            lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 4, part_ch[p], w), dtype) for p in range(len(parts))
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(*parts_v, *weights)
     return jnp.swapaxes(outv, 2, 3)

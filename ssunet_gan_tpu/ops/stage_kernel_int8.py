@@ -1,0 +1,353 @@
+"""int8 variant of the fused eval-mode [BasicBlock + self-SPADE] stage.
+
+The bf16 fused stages run at 40-44% MFU and are MXU-bound (BASELINE.md r2
+device profile); v5e's MXU runs int8 at 2× the bf16 rate, which is the only
+identified lever past the 438 tiles/s bf16 compute roofline (docs/ROADMAP.md).
+This kernel keeps the rolling-halo structure of ``ops.stage_kernel`` and
+moves the two heavy contractions — conv1 and conv2+shortcut, ~90% of stage
+FLOPs — to int8×int8→int32 MXU dots:
+
+- **stage inputs** are quantized per-tensor in XLA (dynamic symmetric
+  scales, no calibration state); the per-part scale folds into the packed
+  conv1/shortcut weight columns BEFORE per-output-channel weight
+  quantization, so the kernel needs no activation-scale operands;
+- **h1** (the conv1 activation) is quantized per H-band inside the kernel
+  (VPU abs-max over the VMEM slab) — valid because each band's h1 slab is
+  produced and consumed within one grid step, so the scale never crosses a
+  band boundary;
+- dequantization is a per-output-channel f32 multiply fused with the BN
+  bias add and ReLU on the VPU;
+- the **SPADE tail, shortcut-free epilogue and final 1×1 head stay bf16**
+  (<10% of stage FLOPs — quantizing them buys nothing and costs accuracy).
+
+Zero-points are zero everywhere (symmetric quantization), so the halo
+zero-masking used for conv padding stays exact in the int8 domain.
+
+References: archs.py:205-241 (BasicBlock), normalization.py:94-120 (SPADE);
+capability parity target: the eval path of
+/root/reference/scripts/aerial_image_segmentation_api.py:376-390.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ssunet_gan_tpu.ops.spade_kernel import (
+    _interpret,
+    _shift_w,
+    _spade_tail,
+    _zero_outside_image,
+)
+from ssunet_gan_tpu.ops.stage_kernel import _VMEM_LIMIT
+
+# ---------------------------------------------------------------------------
+# Mode toggle: int8 is OPT-IN (config key "int8" / set_int8_stage) — it is a
+# quantized approximation, so the caller owns the accuracy/throughput trade.
+# ---------------------------------------------------------------------------
+
+_INT8_STAGE = False
+
+
+def set_int8_stage(enabled: bool) -> None:
+    global _INT8_STAGE
+    _INT8_STAGE = bool(enabled)
+
+
+def int8_stage_enabled() -> bool:
+    return _INT8_STAGE
+
+
+def _rowscale(acc_f32: jax.Array, d: jax.Array) -> jax.Array:
+    """Per-output-channel scale on a (C, W) slab.
+
+    ``d`` arrives PRE-TILED as (C, W) — Mosaic's vector layout pass rejects
+    (C, 1)-shaped broadcasts (r2 finding, CLAUDE.md), so the per-channel
+    vectors are broadcast to lane-width in XLA and ride as operands."""
+    return acc_f32 * d
+
+
+def quantize_tensor(x: jax.Array):
+    """Per-tensor symmetric int8 quantization (XLA side).
+
+    Returns (q, scale): ``x ≈ q · scale`` with q ∈ [-127, 127], zero-point
+    0 (so zero-padding halos stay exact in the quantized domain).
+    """
+    m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    s = jnp.maximum(m / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _quant_rows(w: jax.Array):
+    """Per-output-channel (row) symmetric int8 weight quantization."""
+    m = jnp.max(jnp.abs(w), axis=1)
+    s = jnp.maximum(m / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(w / s[:, None]), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _quant_band(h: jax.Array):
+    """Per-band dynamic int8 quantization of a VMEM slab (in-kernel)."""
+    m = jnp.max(jnp.abs(h.astype(jnp.float32)))
+    s = jnp.maximum(m / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(h.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+# ---------------------------------------------------------------------------
+# Kernel.
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
+                      h_img: int, has_final: bool, dtype):
+    csum = sum(part_ch)
+
+    def kernel(*refs):
+        # operands: [qx_p ×P], Wq1, Wq2, Wqs, DQ (4,C) f32, K1s, K2s, K3s,
+        #           [KF], out, [scratch_p ×P]
+        qx = refs[:n_parts]
+        wq1_ref, wq2_ref, wqs_ref, dq_ref = refs[n_parts : n_parts + 4]
+        k1s_ref, k2s_ref, k3s_ref = refs[n_parts + 4 : n_parts + 7]
+        kf_ref = refs[n_parts + 7] if has_final else None
+        o_ref = refs[n_parts + 7 + int(has_final)]
+        scratch = refs[n_parts + 8 + int(has_final) :]
+
+        i = pl.program_id(1)
+        cur = [qx[p][:] for p in range(n_parts)]
+
+        @pl.when(i > 0)
+        def _compute():
+            g0 = (i - 1) * th - 5  # global image row of xh row 0
+            xh_parts = []
+            for p in range(n_parts):
+                xh = jnp.concatenate([scratch[p][:], cur[p][0:5]], axis=0)
+                xh_parts.append(
+                    _zero_outside_image(xh, g0, h_img)
+                )  # (th+10, Cp, W) int8 — zero-point 0 keeps pad exact
+
+            dq = dq_ref[:]  # (5, C, W) pre-tiled per-channel vectors
+            d1, t1 = dq[0], dq[1]
+            # conv1 (int8 MXU) + per-channel dequant + bn1 bias + relu
+            h1_rows = []
+            for t in range(th + 8):
+                taps = []
+                for p in range(n_parts):
+                    for dy in range(3):
+                        r = xh_parts[p][t + dy]
+                        for dx in range(3):
+                            taps.append(_shift_w(r, dx))
+                x9 = jnp.concatenate(taps, axis=0)  # (9·ΣCp, W) int8
+                acc = jax.lax.dot_general(
+                    wq1_ref[:], x9, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                h1_rows.append(
+                    jax.nn.relu(_rowscale(acc.astype(jnp.float32), d1) + t1)
+                )
+            h1 = jnp.stack(h1_rows, axis=0).astype(dtype)
+            h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
+
+            # per-band requantization of h1 (slab-local scale, see module doc)
+            qh1, s_h1 = _quant_band(h1)
+
+            d2 = dq[2] * s_h1  # conv2 dequant folds the band scale
+            ds, t2 = dq[3], dq[4]
+            y_rows = []
+            for t in range(th + 6):
+                taps = []
+                for dy in range(3):
+                    r = qh1[t + dy]
+                    for dx in range(3):
+                        taps.append(_shift_w(r, dx))
+                h9 = jnp.concatenate(taps, axis=0)  # (9C, W) int8
+                acc2 = jax.lax.dot_general(
+                    wq2_ref[:], h9, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                xrow = jnp.concatenate(
+                    [xh_parts[p][t + 2] for p in range(n_parts)], axis=0
+                )  # (ΣCp, W) int8
+                accs = jax.lax.dot_general(
+                    wqs_ref[:], xrow, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                y_rows.append(
+                    jax.nn.relu(
+                        _rowscale(acc2.astype(jnp.float32), d2)
+                        + _rowscale(accs.astype(jnp.float32), ds)
+                        + t2
+                    )
+                )
+            y = jnp.stack(y_rows, axis=0).astype(dtype)
+            y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
+
+            out = _spade_tail(
+                y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype
+            )
+            if not has_final:
+                o_ref[:] = out
+            else:
+                ones_row = jnp.ones((1, w), dtype)
+                fin_rows = []
+                for t in range(th):
+                    xr = jnp.concatenate([out[t], ones_row], axis=0)
+                    fin_rows.append(
+                        jnp.dot(kf_ref[:], xr, preferred_element_type=jnp.float32)
+                    )
+                o_ref[:] = jnp.stack(fin_rows, axis=0).astype(dtype)
+
+        # roll the int8 scratch: keep the last th+5 rows of (scratch ∪ cur)
+        for p in range(n_parts):
+            tail = scratch[p][th:]  # last 5 rows (read before overwrite)
+
+            @pl.when(i == 0)
+            def _init(p=p):
+                scratch[p][0:5] = jnp.zeros_like(scratch[p][0:5])
+                scratch[p][5:] = cur[p]
+
+            @pl.when(i > 0)
+            def _roll(p=p, tail=tail):
+                scratch[p][0:5] = tail
+                scratch[p][5:] = cur[p]
+
+    return kernel
+
+
+def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
+                     dtype, KF=None):
+    """parts_q: list of (N, H, Cp, W) int8 views; returns (N, H, C_out, W)
+    in ``dtype`` (C_out = stage width, or classes when KF folds the head)."""
+    n, h, _, w = parts_q[0].shape
+    c = Wq2.shape[0]
+    n_parts = len(parts_q)
+    part_ch = tuple(p.shape[2] for p in parts_q)
+    nh = h // th
+    grid = (n, nh + 1)
+    c_out = c if KF is None else KF.shape[0]
+
+    def cur_spec(p):
+        return pl.BlockSpec(
+            (None, th, part_ch[p], w),
+            lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda ni, hi, _r=len(shape): (0,) * _r, memory_space=pltpu.VMEM
+    )
+
+    weights = [Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s] + ([] if KF is None else [KF])
+    return pl.pallas_call(
+        _make_kernel_int8(n_parts, th, c, w, part_ch, h, KF is not None, dtype),
+        grid=grid,
+        in_specs=(
+            [cur_spec(p) for p in range(n_parts)]
+            + [const(wt.shape) for wt in weights]
+        ),
+        out_specs=pl.BlockSpec(
+            (None, th, c_out, w),
+            lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 5, part_ch[p], w), jnp.int8) for p in range(n_parts)
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(*parts_q, *weights)
+
+
+# ---------------------------------------------------------------------------
+# Public entry: NHWC parts + module param bundles.
+# ---------------------------------------------------------------------------
+
+
+def fused_eval_stage_int8(
+    parts: Sequence[jax.Array],
+    block_bundle: Tuple,
+    spade_bundle: Tuple,
+    final_head: Optional[Tuple] = None,
+) -> jax.Array:
+    """int8 eval stage: quantize inputs (dynamic per-tensor), run the int8
+    rolling-halo kernel, emit the stage output (or folded logits) in the
+    activation dtype.
+
+    Bundles are identical to :func:`ops.stage_kernel.fused_eval_stage`.
+    """
+    k1, (s1, t1), k2, (s2, t2), ks = block_bundle
+    k1s, b1s, k2s, b2s, kgs, bgs, kbs, bbs = spade_bundle
+    dtype = parts[0].dtype
+    c = k2.shape[-1]
+    lab = k1s.shape[-1]
+    nh = k2s.shape[-1]
+
+    # quantize the stage inputs (XLA): per-tensor dynamic symmetric scales
+    qparts, sx = zip(*(quantize_tensor(p) for p in parts))
+
+    # fold BN eval scale into conv weights, then the per-part input scale
+    # into the corresponding weight columns, then per-row weight quant
+    k1f = (k1 * s1).astype(jnp.float32)
+    k2f = (k2 * s2).astype(jnp.float32)
+    offs = [0]
+    for p in parts:
+        offs.append(offs[-1] + p.shape[-1])
+    k1_parts = [
+        (k1f[:, :, offs[pi] : offs[pi + 1], :] * sx[pi])
+        .reshape(9 * parts[pi].shape[-1], c).T
+        for pi in range(len(parts))
+    ]
+    Wq1, d1 = _quant_rows(jnp.concatenate(k1_parts, axis=1))  # (C, 9ΣCp)
+    Wq2, d2 = _quant_rows(k2f.reshape(9 * c, c).T)            # (C, 9C)
+    if ks is None:  # shortcut-free (VGGBlock) stage: zero shortcut columns
+        ks_parts = [jnp.zeros((c, p.shape[-1]), jnp.float32) for p in parts]
+    else:
+        ks_parts = [
+            (ks[0, 0, offs[pi] : offs[pi + 1], :] * sx[pi]).astype(jnp.float32).T
+            for pi in range(len(parts))
+        ]
+    Wqs, ds = _quant_rows(jnp.concatenate(ks_parts, axis=1))  # (C, ΣCp)
+    # per-channel dequant/bias vectors, pre-tiled to (C, W) lanes: Mosaic
+    # rejects (C,1)-shaped broadcasts in-kernel (r2 finding)
+    w_img = parts[0].shape[2]
+    DQ = jnp.stack(
+        [
+            jnp.tile(v.astype(jnp.float32)[:, None], (1, w_img))
+            for v in (d1, t1, d2, ds, t2)
+        ],
+        axis=0,
+    )  # (5, C, W) f32
+
+    # SPADE + final-head packing: identical to the bf16 kernel
+    K1s = jnp.concatenate(
+        [k1s.reshape(9 * c, lab).T, b1s.reshape(lab, 1)], axis=1
+    ).astype(dtype)
+    K2s = jnp.concatenate(
+        [k2s.reshape(9 * lab, nh).T, b2s.reshape(nh, 1)], axis=1
+    ).astype(dtype)
+    K3s = jnp.concatenate(
+        [
+            jnp.concatenate([kgs.reshape(9 * nh, c).T, bgs.reshape(c, 1)], axis=1),
+            jnp.concatenate([kbs.reshape(9 * nh, c).T, bbs.reshape(c, 1)], axis=1),
+        ],
+        axis=0,
+    ).astype(dtype)
+
+    KF = None
+    if final_head is not None:
+        kf, bf = final_head
+        KF = jnp.concatenate(
+            [kf[0, 0].T, bf.reshape(kf.shape[-1], 1)], axis=1
+        ).astype(dtype)  # (ncls, C+1)
+
+    parts_q = [jnp.swapaxes(q, 2, 3) for q in qparts]  # (N, H, Cp, W) int8
+    outv = _stage_call_int8(
+        parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, 8, dtype, KF=KF
+    )
+    return jnp.swapaxes(outv, 2, 3)

@@ -1,0 +1,116 @@
+"""Tests for the int8 fused eval stage (ops/stage_kernel_int8.py).
+
+On CPU the kernel runs in Pallas interpret mode, exercising the exact
+kernel body. int8 is a quantized approximation of the f32 stage, so the
+bars here are (a) tight agreement with an equivalent XLA-side quantized
+reference of the same scheme where exactness is expected, and (b) bounded
+relative error vs the f32 composition.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssunet_gan_tpu.models import build_model
+from ssunet_gan_tpu.ops.spade_kernel import set_fused_spade
+from ssunet_gan_tpu.ops.stage_kernel import set_fused_stage
+from ssunet_gan_tpu.ops.stage_kernel_int8 import (
+    fused_eval_stage_int8,
+    quantize_tensor,
+    set_int8_stage,
+)
+from ssunet_gan_tpu.utils import jit_init
+
+from tests.test_stage_kernel import _init_pair, _reference_stage
+
+
+@pytest.fixture(autouse=True)
+def _restore_flags():
+    yield
+    set_fused_stage(None)
+    set_int8_stage(False)
+    set_fused_spade(None)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def test_quantize_tensor_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 8)).astype(np.float32))
+    q, s = quantize_tensor(x)
+    assert q.dtype == jnp.int8
+    x2 = np.asarray(q, np.float32) * float(s)
+    # max error is half a quantization step
+    assert np.abs(x2 - np.asarray(x)).max() <= float(s) * 0.5 + 1e-7
+
+
+@pytest.mark.parametrize(
+    "planes,label,shapes,nh",
+    [
+        (16, 3, [(1, 16, 16, 8)], 4.0),
+        (16, 3, [(2, 16, 16, 8), (2, 16, 16, 16)], 4.0),
+        (32, 2, [(1, 24, 16, 16)], 8.0),
+    ],
+)
+def test_int8_stage_close_to_f32(rng, planes, label, shapes, nh):
+    """The int8 stage must track the f32 composition within quantization
+    error (int8 per-channel weights + per-tensor/band activations)."""
+    block, spade, bvars, svars, parts = _init_pair(rng, planes, label, shapes, nh)
+    want = np.asarray(_reference_stage(block, spade, bvars, svars, parts))
+
+    from ssunet_gan_tpu.ops.blocks import BasicBlock
+
+    in_planes = sum(s[-1] for s in shapes)
+    bp = BasicBlock(block.planes, in_planes=in_planes).apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+    got = np.asarray(fused_eval_stage_int8(parts, bp, sp))
+
+    assert np.isfinite(got).all()
+    # quantization error bar: relative RMS error of a two-conv int8 chain
+    scale = np.abs(want).max() + 1e-6
+    rms = np.sqrt(np.mean((got - want) ** 2)) / scale
+    assert rms < 0.02, f"relative RMS {rms:.4f}"
+    # and the modulated outputs must be well correlated
+    cc = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert cc > 0.999, cc
+
+
+def test_flagship_int8_model_runs_and_tracks_f32(rng):
+    """Flagship eval forward with int8 stages: correlates with the f32
+    path and produces near-identical sigmoid masks."""
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
+
+    set_fused_stage(False)
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+    want = np.asarray(model.apply(variables, x, False))
+
+    set_fused_stage(True)
+    set_int8_stage(True)
+    got = np.asarray(model.apply(variables, x, False))
+    assert np.isfinite(got).all()
+
+    pw = 1.0 / (1.0 + np.exp(-want))
+    pg = 1.0 / (1.0 + np.exp(-got))
+    # mask agreement at threshold 0.5 (the metric that matters downstream)
+    agree = np.mean((pw > 0.5) == (pg > 0.5))
+    assert agree > 0.98, agree
+    cc = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+    assert cc > 0.99, cc
+
+
+def test_int8_dispatch_respects_flag(rng):
+    """int8 OFF must leave the bf16 fused path bit-identical."""
+    from ssunet_gan_tpu.ops import stage_kernel_int8
+
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
+    set_fused_stage(True)
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+    a = np.asarray(model.apply(variables, x, False))
+    assert not stage_kernel_int8.int8_stage_enabled()
+    b = np.asarray(model.apply(variables, x, False))
+    np.testing.assert_array_equal(a, b)

@@ -193,3 +193,66 @@ def test_probe_verdicts_are_cached(rng, monkeypatch):
     for _ in range(3):
         assert stage_kernel.fused_stage_probe_ok(parts, 16, 3, 4)
     assert len(calls) == 1
+
+
+def test_ssunet_fused_stage_model_parity(rng):
+    """SSUNet (VGGBlock stages, zero-shortcut fused packing) eval forward:
+    fused vs composition."""
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    model = build_model("SSUNet", num_classes=3, input_channels=3)
+
+    set_fused_stage(False)
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+    want = model.apply(variables, x, False)
+
+    set_fused_stage(True)
+    variables2 = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(
+        variables2
+    )
+    got = model.apply(variables2, x, False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_unet_b_ss_fused_stage_model_parity(rng):
+    """UNet_B_SS (Bottleneck stages) eval forward: fused vs composition."""
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    model = build_model("UNet_B_SS", num_classes=3, input_channels=3)
+
+    set_fused_stage(False)
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+    want = model.apply(variables, x, False)
+
+    set_fused_stage(True)
+    variables2 = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(
+        variables2
+    )
+    got = model.apply(variables2, x, False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+    )
+
+
+def test_bneck_identity_shortcut_stage_parity(rng):
+    """Bottleneck fused stage with an identity shortcut (in == planes)."""
+    from ssunet_gan_tpu.ops.blocks import Bottleneck
+    from ssunet_gan_tpu.ops.stage_kernel import fused_eval_stage_bneck
+
+    planes = 16
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, planes)).astype(np.float32))
+    block = Bottleneck(planes, in_planes=planes)
+    bvars = jax.jit(lambda: block.init(jax.random.PRNGKey(3), x, True))()
+    spade = SPADE("spadebatch3x3", planes, 3, 4.0)
+    svars = jax.jit(lambda: spade.init(jax.random.PRNGKey(4), x, x))()
+
+    y = block.apply(bvars, x, False)
+    want = spade.apply(svars, y, y)
+    bp = block.apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+    got = fused_eval_stage_bneck((x,), bp, sp)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )

@@ -270,3 +270,22 @@ def test_pipelined_scene_forward_matches_plain_path(rng):
     got, coords, p_size = pipelined_scene_forward(model, variables, scene, config)
     assert p_size == 64 and len(coords) == len(want)
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_merge_canvas_matches_unsharded(rng):
+    """Fast-path merge with row-sharded canvases (mesh) must be bit-equal
+    to the single-device merge — the >16k^2-scene scale-out path where the
+    canvases exceed one chip's HBM (sharding correctness is what's under
+    test; the 8-device CPU mesh stands in for the real slice)."""
+    from ssunet_gan_tpu.data.tiling import merge_patches_device
+    from ssunet_gan_tpu.parallel import make_mesh
+
+    hw, p, ov = 512, 64, 0.5
+    coords = grid_coords(hw, hw, p, ov)
+    probs = rng.random((len(coords), 32, 32, 2)).astype(np.float32)
+
+    want = merge_patches_device(probs, coords, hw, hw, p, 2, overlap=ov)
+    mesh = make_mesh()
+    got = merge_patches_device(probs, coords, hw, hw, p, 2, overlap=ov,
+                               mesh=mesh)
+    np.testing.assert_array_equal(got, want)
