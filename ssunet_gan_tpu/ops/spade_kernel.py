@@ -132,14 +132,27 @@ def _xla_self_spade(x, k1, b1, k2, b2, kg, bg, kb, bb):
 # ---------------------------------------------------------------------------
 
 
-def _shift_w(v: jax.Array, dx: int) -> jax.Array:
-    """W-halo tap: position w reads input w+dx-1, zeros at the borders."""
+def _shift_w(v: jax.Array, dx: int, sub_w: int = 0) -> jax.Array:
+    """W-halo tap: position w reads input w+dx-1, zeros at the borders.
+
+    ``sub_w`` > 0 marks a LANE-PACKED slab: the last axis holds
+    ``W/sub_w`` independent images of width ``sub_w`` side by side (the
+    deep-level packing that fills the 128-lane vector, stage_kernel.py),
+    so the shift must not leak across image seams — the lane that would
+    read its neighbour image's border column is zeroed instead.
+    """
     if dx == 1:
         return v
     zero = jnp.zeros_like(v[..., :1])
     if dx == 0:
-        return jnp.concatenate([zero, v[..., :-1]], axis=-1)
-    return jnp.concatenate([v[..., 1:], zero], axis=-1)
+        out = jnp.concatenate([zero, v[..., :-1]], axis=-1)
+    else:
+        out = jnp.concatenate([v[..., 1:], zero], axis=-1)
+    if sub_w and sub_w != v.shape[-1]:
+        lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+        seam = lane % sub_w == (0 if dx == 0 else sub_w - 1)
+        out = jnp.where(seam, jnp.zeros_like(out), out)
+    return out
 
 
 def _dotb(k2d: jax.Array, slab: jax.Array) -> jax.Array:
@@ -159,14 +172,14 @@ def _dotb(k2d: jax.Array, slab: jax.Array) -> jax.Array:
     return jnp.stack(outs, axis=0)
 
 
-def _tap_cat(src: jax.Array, th: int) -> jax.Array:
+def _tap_cat(src: jax.Array, th: int, sub_w: int = 0) -> jax.Array:
     """Stack the 9 (dy,dx) taps of ``src`` (T+2, F, W) along the channel
     (sublane) axis → (T, 9·F, W), tap-major to match packed kernels."""
     taps = []
     for dy in range(3):
         slab = src[dy : dy + th]
         for dx in range(3):
-            taps.append(_shift_w(slab, dx))
+            taps.append(_shift_w(slab, dx, sub_w))
     return jnp.concatenate(taps, axis=1)
 
 
@@ -182,7 +195,7 @@ def _zero_outside_image(v: jax.Array, row0, h_img: int) -> jax.Array:
     )
 
 
-def _conv3_rows(slabs, kp, t_out: int, dtype):
+def _conv3_rows(slabs, kp, t_out: int, dtype, sub_w: int = 0):
     """3×3 conv (pad-1 in W, valid in H) over W-minor slabs via per-row
     packed-tap dots: for each output row, the 9 shifted taps of every input
     slab plus a ones-row (bias) concatenate on the contraction axis and hit
@@ -204,14 +217,14 @@ def _conv3_rows(slabs, kp, t_out: int, dtype):
             for dy in range(3):
                 r = slab[t + dy]
                 for dx in range(3):
-                    taps.append(_shift_w(r, dx))
+                    taps.append(_shift_w(r, dx, sub_w))
         taps.append(ones_row)
         x9 = jnp.concatenate(taps, axis=0)
         rows.append(jnp.dot(kp, x9, preferred_element_type=jnp.float32))
     return jnp.stack(rows, axis=0)
 
 
-def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype):
+def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype, sub_w: int = 0):
     """Self-SPADE on a W-minor slab ``xh`` of TH+6 rows (3 halo rings each
     side, already zeroed outside the image); returns the TH modulated rows.
 
@@ -226,17 +239,17 @@ def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype):
     c, w = xh.shape[1], xh.shape[2]
 
     # x2map: per-row packed-tap dot, contraction 9·C+1.
-    seg = _conv3_rows([xh], k1_ref[:], th + 4, dtype).astype(dtype)
+    seg = _conv3_rows([xh], k1_ref[:], th + 4, dtype, sub_w).astype(dtype)
     seg = _zero_outside_image(seg, row0 + 1, h_img)
 
     # mlp_shared: packed 9·label(+bias) contraction + ReLU.
-    s9 = _tap_cat(seg, th + 2)  # (TH+2, 9·lab, W)
+    s9 = _tap_cat(seg, th + 2, sub_w)  # (TH+2, 9·lab, W)
     s9 = jnp.concatenate([s9, jnp.ones((th + 2, 1, w), dtype)], axis=1)
     actv = jax.nn.relu(_dotb(k2_ref[:], s9)).astype(dtype)  # (TH+2, nh, W)
     actv = _zero_outside_image(actv, row0 + 2, h_img)
 
     # gamma|beta: packed 9·nh(+bias) contraction; modulate on the VPU.
-    a9 = _tap_cat(actv, th)  # (TH, 9·nh, W)
+    a9 = _tap_cat(actv, th, sub_w)  # (TH, 9·nh, W)
     a9 = jnp.concatenate([a9, jnp.ones((th, 1, w), dtype)], axis=1)
     # modulate in the activation dtype (the XLA path's bf16 semantics; f32
     # in f32 mode) — f32 intermediates here would double VMEM pressure

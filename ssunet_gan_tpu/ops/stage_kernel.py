@@ -69,6 +69,45 @@ def fused_stage_enabled() -> bool:
 
 _VMEM_LIMIT = 28 * 1024 * 1024  # raised scoped-VMEM cap for the fat stages
 
+# ---------------------------------------------------------------------------
+# Deep-level lane packing. The W ≤ 64 levels starve the 128-lane vector unit
+# (r2 measured fusing L3 unpacked at 143 vs 169 tiles/s end-to-end), so the
+# eval path packs f = 128/W batch images side by side on the lane axis and
+# runs ONE kernel at full lane occupancy; `_shift_w`'s seam masking keeps the
+# conv halos of neighbouring images independent. Packing is eval-only
+# (pack=True call sites) — the train kernels don't thread sub_w yet.
+# ---------------------------------------------------------------------------
+
+_PACK_W = 128
+
+
+def _pack_factor(n: int, w: int) -> int:
+    """Images packed per lane vector (1 = no packing)."""
+    if w >= _PACK_W or _PACK_W % w or n % (_PACK_W // w):
+        return 1
+    return _PACK_W // w
+
+
+def _pack_lanes(pv: jax.Array, f: int) -> jax.Array:
+    """(N, H, Cp, W) W-minor view → (N/f, H, Cp, f·W), image-major lanes."""
+    n, h, cp, w = pv.shape
+    return (
+        pv.reshape(n // f, f, h, cp, w)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(n // f, h, cp, f * w)
+    )
+
+
+def _unpack_lanes(ov: jax.Array, f: int) -> jax.Array:
+    """Inverse of :func:`_pack_lanes`."""
+    n, h, c, wf = ov.shape
+    w = wf // f
+    return (
+        ov.reshape(n, h, c, f, w)
+        .transpose(0, 3, 1, 2, 4)
+        .reshape(n * f, h, c, w)
+    )
+
 # VMEM gate tiers. The byte-sum heuristic over-counts ~2× vs the compiler's
 # scheduled liveness, so three tiers replace a single folklore bound:
 #   est < _TRUST_BYTES   — the measured region (every flagship stage incl.
@@ -105,20 +144,29 @@ def _pick_th(h: int, w: int, c: int, part_ch, itemsize: int = 2) -> Optional[int
     return th if _vmem_estimate(h, w, c, part_ch, itemsize) < _REJECT_BYTES else None
 
 
-def fused_stage_supported(parts: Sequence[jax.Array], planes: int) -> bool:
-    """Static gate: eval-size constraints for the W-minor kernel."""
+def fused_stage_supported(
+    parts: Sequence[jax.Array], planes: int, pack: bool = False
+) -> bool:
+    """Static gate: eval-size constraints for the W-minor kernel.
+
+    ``pack=True`` (eval call sites) additionally admits deep levels via
+    lane packing — W ≤ 64 with a divisible batch, and planes up to 768
+    (anything past the r2-measured 256 region MUST clear the probe tier,
+    see :func:`fused_stage_probe_ok`)."""
     h, w = parts[0].shape[1], parts[0].shape[2]
     if any(p.shape[1] != h or p.shape[2] != w for p in parts):
         return False
+    f = _pack_factor(parts[0].shape[0], w) if pack else 1
+    wp = w * f
     min_w = 8 if _interpret() else 128
     return (
         len(parts) <= 2
         and h % 8 == 0
         and h >= 8
-        and w >= min_w
-        and planes <= 256
+        and wp >= min_w
+        and planes <= (768 if pack else 256)
         and _pick_th(
-            h, w, planes, [p.shape[-1] for p in parts],
+            h, wp, planes, [p.shape[-1] for p in parts],
             parts[0].dtype.itemsize,
         )
         is not None
@@ -135,27 +183,37 @@ def fused_stage_probe_ok(
     label_nc: int,
     nhidden: int,
     num_out: Optional[int] = None,
+    pack: bool = False,
 ) -> bool:
     """Second-tier gate: trust the measured VMEM region, otherwise compile
     the kernel once for this shape signature and cache the verdict.
 
     Callers (the model stage dispatch) fall back to the XLA module
     composition when this returns False — the failure mode the old
-    guard-band heuristic turned into a Mosaic compile crash."""
+    guard-band heuristic turned into a Mosaic compile crash. Deep levels
+    (planes > 256, reachable only with ``pack=True``) never take the
+    trust tier: their packed weights dominate VMEM in a way the r2-measured
+    byte-sum wasn't calibrated for, so they always probe-compile (cached)."""
     h, w = parts[0].shape[1], parts[0].shape[2]
     part_ch = tuple(p.shape[-1] for p in parts)
     dtype = parts[0].dtype
-    if _vmem_estimate(h, w, planes, part_ch, dtype.itemsize) < _TRUST_BYTES:
+    f = _pack_factor(parts[0].shape[0], w) if pack else 1
+    wp = w * f
+    sub_w = w if f > 1 else 0
+    if (
+        planes <= 256
+        and _vmem_estimate(h, wp, planes, part_ch, dtype.itemsize) < _TRUST_BYTES
+    ):
         return True
-    key = (h, w, part_ch, planes, label_nc, nhidden, num_out, dtype.name)
+    key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out, dtype.name)
     if key not in _PROBE_CACHE:
         _PROBE_CACHE[key] = _probe_compile(
-            h, w, part_ch, planes, label_nc, nhidden, num_out, dtype
+            h, wp, part_ch, planes, label_nc, nhidden, num_out, dtype, sub_w
         )
     return _PROBE_CACHE[key]
 
 
-def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype) -> bool:
+def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0) -> bool:
     if _interpret():
         return True  # no Mosaic/VMEM on the interpreter path
     s = jax.ShapeDtypeStruct
@@ -176,7 +234,7 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype) -> bool:
         pv = list(arrs[: len(part_ch)])
         k1, k2sc, k1s, k2s, k3s = arrs[len(part_ch) : len(part_ch) + 5]
         kf = arrs[len(part_ch) + 5] if num_out is not None else None
-        return _stage_call(pv, k1, k2sc, k1s, k2s, k3s, 8, KF=kf)
+        return _stage_call(pv, k1, k2sc, k1s, k2s, k3s, 8, KF=kf, sub_w=sub_w)
 
     try:
         jax.jit(fn).lower(*args).compile()
@@ -198,7 +256,7 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype) -> bool:
 
 
 def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
-                 has_final: bool):
+                 has_final: bool, sub_w: int = 0):
     def kernel(*refs):
         # operand order: [xcur_p ×P] K1cat, K2SC, K1s, K2s, K3s, [KF],
         #                out, [scratch_p ×P]
@@ -225,7 +283,7 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
             # h1 = relu(bn1-folded conv1 over all parts): one deep-K packed
             # dot per output row (contraction 9·ΣCp + 1)
             h1 = jax.nn.relu(
-                _conv3_rows(xh_parts, k1_ref[:], th + 8, dtype)
+                _conv3_rows(xh_parts, k1_ref[:], th + 8, dtype, sub_w)
             ).astype(dtype)
             h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
 
@@ -238,7 +296,7 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
                 for dy in range(3):
                     r = h1[t + dy]
                     for dx in range(3):
-                        taps.append(_shift_w(r, dx))
+                        taps.append(_shift_w(r, dx, sub_w))
                 for p in range(n_parts):
                     taps.append(xh_parts[p][t + 2])
                 taps.append(ones_row)
@@ -250,7 +308,7 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
             y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
 
             out = _spade_tail(
-                y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype
+                y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w
             )
             if not has_final:
                 o_ref[:] = out
@@ -282,7 +340,8 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
     return kernel
 
 
-def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None):
+def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
+                sub_w: int = 0):
     """parts_v: list of (N, H, Cp, W) views; returns (N, H, C_out, W)
     where C_out is the stage width, or the final head's class count when
     ``KF`` folds the model's last 1×1 conv in."""
@@ -308,7 +367,7 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None):
 
     weights = [K1cat, K2SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
     return pl.pallas_call(
-        _make_kernel(n_parts, th, c, w, part_ch, h, KF is not None),
+        _make_kernel(n_parts, th, c, w, part_ch, h, KF is not None, sub_w),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
@@ -406,10 +465,18 @@ def fused_eval_stage(
         ).astype(dtype)  # (ncls, C+1)
 
     parts_v = [jnp.swapaxes(p, 2, 3) for p in parts]  # (N, H, Cp, W)
-    h, w = parts_v[0].shape[1], parts_v[0].shape[3]
-    th = _pick_th(h, w, c, [p.shape[-1] for p in parts], dtype.itemsize)
+    n, h, w = parts_v[0].shape[0], parts_v[0].shape[1], parts_v[0].shape[3]
+    f = _pack_factor(n, w)
+    sub_w = w if f > 1 else 0
+    if f > 1:  # deep level: fill the lanes with f images side by side
+        parts_v = [_pack_lanes(pv, f) for pv in parts_v]
+    th = _pick_th(h, w * f, c, [p.shape[-1] for p in parts], dtype.itemsize)
     assert th is not None, "caller must gate with fused_stage_supported"
-    outv = _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th, KF=KF)
+    outv = _stage_call(
+        parts_v, K1cat, K2SC, K1s, K2s, K3s, th, KF=KF, sub_w=sub_w
+    )
+    if f > 1:
+        outv = _unpack_lanes(outv, f)
     return jnp.swapaxes(outv, 2, 3)
 
 # ---------------------------------------------------------------------------
@@ -422,7 +489,7 @@ def fused_eval_stage(
 
 
 def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
-                       h_img: int, has_final: bool):
+                       h_img: int, has_final: bool, sub_w: int = 0):
     L = 4
 
     def kernel(*refs):
@@ -465,7 +532,7 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
 
             # conv2 (3×3) + bn2 + relu
             h2 = jax.nn.relu(
-                _conv3_rows([h1], k2b_ref[:], th + 6, dtype)
+                _conv3_rows([h1], k2b_ref[:], th + 6, dtype, sub_w)
             ).astype(dtype)
             h2 = _zero_outside_image(h2, g0 + 1, h_img)  # (th+6, C, W)
 
@@ -487,7 +554,7 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
             y = _zero_outside_image(y, g0 + 1, h_img)
 
             out = _spade_tail(
-                y, g0 + 1, h_img, k1s_ref, k2s_ref, k3s_ref, dtype
+                y, g0 + 1, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w
             )
             if not has_final:
                 o_ref[:] = out
@@ -519,14 +586,20 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
 def fused_bneck_supported(parts: Sequence[jax.Array], planes: int) -> bool:
     """Gate for the bottleneck stage kernel: the eval-size constraints plus
     the conservative (trust-tier-only) VMEM bound — this variant has no
-    probe path, so only the measured-safe region fuses."""
-    if not fused_stage_supported(parts, planes):
+    probe path, so only the measured-safe region fuses (lane-packed deep
+    levels included, at the packed width)."""
+    if not fused_stage_supported(parts, planes, pack=True):
         return False
     h, w = parts[0].shape[1], parts[0].shape[2]
+    wp = w * _pack_factor(parts[0].shape[0], w)
     part_ch = [p.shape[-1] for p in parts]
-    est = _vmem_estimate(h, w, planes, part_ch, parts[0].dtype.itemsize)
-    # + the h1 slab this variant keeps live
-    est += (8 + 8) * planes * w * parts[0].dtype.itemsize
+    est = _vmem_estimate(h, wp, planes, part_ch, parts[0].dtype.itemsize)
+    # + the h1 slab this variant keeps live, + the packed weight operands
+    # (which dominate at the deep widths the byte-sum wasn't calibrated for)
+    est += (8 + 8) * planes * wp * parts[0].dtype.itemsize
+    csum = sum(part_ch)
+    est += (planes * (9 * csum + 9 * planes + planes + csum + 2)) \
+        * parts[0].dtype.itemsize
     return est < _TRUST_BYTES
 
 
@@ -594,6 +667,11 @@ def fused_eval_stage_bneck(
 
     parts_v = [jnp.swapaxes(p, 2, 3) for p in parts]
     n, h, _, w = parts_v[0].shape
+    f = _pack_factor(n, w)
+    sub_w = w if f > 1 else 0
+    if f > 1:
+        parts_v = [_pack_lanes(pv, f) for pv in parts_v]
+        n, w = n // f, w * f
     part_ch = tuple(p.shape[2] for p in parts_v)
     th = 8
     nh_grid = h // th
@@ -612,7 +690,8 @@ def fused_eval_stage_bneck(
 
     weights = [K1B, K2B, K3SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
     outv = pl.pallas_call(
-        _make_bneck_kernel(len(parts), th, c, w, part_ch, h, KF is not None),
+        _make_bneck_kernel(len(parts), th, c, w, part_ch, h, KF is not None,
+                           sub_w),
         grid=(n, nh_grid + 1),
         in_specs=(
             [cur_spec(p) for p in range(len(parts))]
@@ -630,4 +709,6 @@ def fused_eval_stage_bneck(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(*parts_v, *weights)
+    if f > 1:
+        outv = _unpack_lanes(outv, f)
     return jnp.swapaxes(outv, 2, 3)

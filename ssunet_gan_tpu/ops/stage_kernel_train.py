@@ -446,6 +446,139 @@ def _train_fwd_impl(parts, bp, sp, head):
     return out, stats, residuals
 
 
+# ---------------------------------------------------------------------------
+# Weight-gradient kernel: dW[c, 9·ΣCp] = Σ_{n,rows} g_row (C, W) ·
+# x9_rowᵀ (W, 9·ΣCp) — a deep-K (W-lane) MXU contraction per row,
+# accumulated in an f32 VMEM scratch across the sequential grid.
+# ---------------------------------------------------------------------------
+
+
+def _make_wgrad_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
+                       h_img: int):
+    from ssunet_gan_tpu.ops.spade_kernel import _shift_w
+
+    def kernel(*refs):
+        xcur = refs[:n_parts]
+        g_ref = refs[n_parts]
+        o_ref = refs[n_parts + 1]
+        scratch = refs[n_parts + 2 : -1]
+        acc_ref = refs[-1]
+
+        i = pl.program_id(1)
+        ni = pl.program_id(0)
+        cur = [xcur[p][:] for p in range(n_parts)]
+
+        @pl.when(jnp.logical_and(i == 0, ni == 0))
+        def _zero_acc():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(i > 0)
+        def _compute():
+            g0 = (i - 1) * th - 1
+            xh_parts = []
+            for p in range(n_parts):
+                xh = jnp.concatenate([scratch[p][:], cur[p][0:1]], axis=0)
+                xh_parts.append(_zero_outside_image(xh, g0, h_img))
+            gband = g_ref[:]  # (th, C, W), all rows in-image
+            for t in range(th):
+                taps = []
+                for p in range(n_parts):
+                    for dy in range(3):
+                        r = xh_parts[p][t + dy]
+                        for dx in range(3):
+                            taps.append(_shift_w(r, dx))
+                x9 = jnp.concatenate(taps, axis=0)  # (9·ΣCp, W)
+                acc_ref[:] = acc_ref[:] + jax.lax.dot_general(
+                    gband[t], x9, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+        o_ref[:] = acc_ref[:]
+
+        for p in range(n_parts):
+            tail = scratch[p][th:]
+
+            @pl.when(i == 0)
+            def _init(p=p):
+                scratch[p][0:1] = jnp.zeros_like(scratch[p][0:1])
+                scratch[p][1:] = cur[p]
+
+            @pl.when(i > 0)
+            def _roll(p=p, tail=tail):
+                scratch[p][0:1] = tail
+                scratch[p][1:] = cur[p]
+
+    return kernel
+
+
+def _wgrad_supported(g: jax.Array, csum: int) -> bool:
+    h, w, c = g.shape[1], g.shape[2], g.shape[3]
+    min_w = 8 if _interpret() else 128
+    return (h % 8 == 0 and h >= 8 and w >= min_w and c <= 256
+            and 9 * csum <= 4608)
+
+
+def _conv3_wgrad(x_parts, g, w_dtype=jnp.float32):
+    """dW (HWIO, (3,3,ΣCp,C)) of ``g = conv3(concat(x_parts), W)`` in the
+    weight's dtype (params are f32 even under bf16 activations)."""
+    csum = sum(p.shape[-1] for p in x_parts)
+    c = g.shape[-1]
+    if not _wgrad_supported(g, csum):
+        # XLA fallback: transpose the linear map in the weight argument
+        k0 = jnp.zeros((3, 3, csum, c), w_dtype)
+        return jax.linear_transpose(lambda k: _conv3(list(x_parts), k), k0)(g)[0]
+
+    parts_v = [jnp.swapaxes(p, 2, 3) for p in x_parts]
+    g_v = jnp.swapaxes(g, 2, 3)
+    n, h, _, w = parts_v[0].shape
+    part_ch = tuple(p.shape[2] for p in parts_v)
+    th = 8
+    nh = h // th
+    dtype = parts_v[0].dtype
+
+    def cur_spec(ch):
+        return pl.BlockSpec(
+            (None, th, ch, w),
+            lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out = pl.pallas_call(
+        _make_wgrad_kernel(len(x_parts), th, c, w, part_ch, h),
+        grid=(n, nh + 1),
+        in_specs=(
+            [cur_spec(part_ch[p]) for p in range(len(x_parts))]
+            + [
+                pl.BlockSpec(
+                    (None, th, c, w),
+                    lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ]
+        ),
+        out_specs=pl.BlockSpec(
+            (c, 9 * sum(part_ch)), lambda ni, hi: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((c, 9 * sum(part_ch)), jnp.float32),
+        scratch_shapes=(
+            [pltpu.VMEM((th + 1, part_ch[p], w), dtype) for p in range(len(x_parts))]
+            + [pltpu.VMEM((c, 9 * sum(part_ch)), jnp.float32)]
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(*parts_v, g_v)
+
+    # unpack (C, parts-major tap-major cols) → HWIO (3, 3, ΣCp, C)
+    blocks = []
+    off = 0
+    for cp in part_ch:
+        blk = out[:, off : off + 9 * cp]  # (C, 9·Cp)
+        blocks.append(blk.T.reshape(3, 3, cp, c))
+        off += 9 * cp
+    return jnp.concatenate(blocks, axis=2).astype(w_dtype)
+
+
 # ---- backward: linear_transpose for the convs, vjp for the cheap chains ---
 
 
@@ -543,12 +676,12 @@ def _train_bwd_rule(res, cts):
     _, tail_vjp = jax.vjp(tail_fn, f2, tuple(parts), g2, be2, ks, sp, head)
     g_f2, g_parts_a, g_g2, g_be2, g_ks, g_sp, g_head = tail_vjp(g_out)
 
-    # --- conv2: backward-data through the Pallas conv kernel, weight grad
-    # via linear transpose (no forward replay either way) ---
+    # --- conv2: backward-data AND weight grad through rolling-halo Pallas
+    # kernels (no forward replay either way) ---
     h1r_fn = lambda f1: _bn_relu(f1, g1, be1)
     h1r, h1r_vjp = jax.vjp(h1r_fn, f1)
     g_h1r = _convT(g_f2, k2)
-    g_k2 = jax.linear_transpose(lambda k: _conv3([h1r], k), k2)(g_f2)[0]
+    g_k2 = _conv3_wgrad([h1r], g_f2, k2.dtype)
     # bn1 params: replay the cheap pointwise chain for their grads
     _, bn1_vjp = jax.vjp(lambda g, b: _bn_relu(f1, g, b), g1, be1)
     g_g1, g_be1 = bn1_vjp(g_h1r)
@@ -562,7 +695,7 @@ def _train_bwd_rule(res, cts):
     g_parts_b = tuple(
         g_xcat[..., offs[i] : offs[i + 1]] for i in range(len(parts))
     )
-    g_k1 = jax.linear_transpose(lambda k: _conv3(parts, k), k1)(g_f1)[0]
+    g_k1 = _conv3_wgrad(list(parts), g_f1, k1.dtype)
 
     g_parts = tuple(
         a + b for a, b in zip(g_parts_a, g_parts_b)

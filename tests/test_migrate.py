@@ -160,7 +160,7 @@ def test_migrate_resnet101_file(tmp_path, rng):
                                          str(tmp_path / "r101"))
     assert not summary["unmatched"], summary["unmatched"]
     # the classifier fc has no trunk counterpart; everything else converts
-    assert all(("num_batches_tracked" in k) or ".fc." in k
+    assert all(("num_batches_tracked" in k) or k.startswith("fc.")
                for k in summary["skipped"]), summary["skipped"]
 
     from ssunet_gan_tpu.models.resnet import ResNet101Trunk

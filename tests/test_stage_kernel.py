@@ -256,3 +256,87 @@ def test_bneck_identity_shortcut_stage_parity(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Deep-level lane packing (f images side by side on the lane axis).
+# _PACK_W is monkeypatched down so interpret-mode shapes trigger packing;
+# parity vs the module composition also proves the seam masking (a leaked
+# W-shift across an image seam would corrupt border columns).
+# ---------------------------------------------------------------------------
+
+
+def test_pack_unpack_roundtrip(rng):
+    from ssunet_gan_tpu.ops.stage_kernel import _pack_lanes, _unpack_lanes
+
+    x = jnp.asarray(rng.normal(size=(4, 8, 16, 8)).astype(np.float32))
+    assert np.array_equal(np.asarray(_unpack_lanes(_pack_lanes(x, 4), 4)),
+                          np.asarray(x))
+    # image j of each group lands contiguously at lanes [j·W, (j+1)·W)
+    p = _pack_lanes(x, 4)
+    np.testing.assert_array_equal(np.asarray(p[0, :, :, 8:16]),
+                                  np.asarray(x[1]))
+
+
+@pytest.mark.parametrize(
+    "planes,label,shapes,nh",
+    [
+        (16, 3, [(4, 16, 8, 8)], 4.0),                     # encoder, f=2
+        (16, 3, [(4, 8, 8, 8), (4, 8, 8, 16)], 4.0),       # decoder, f=2
+        (16, 3, [(8, 8, 4, 8)], 4.0),                      # f=4, tiny W
+    ],
+)
+def test_stage_forward_parity_lane_packed(rng, monkeypatch, planes, label,
+                                          shapes, nh):
+    from ssunet_gan_tpu.ops import stage_kernel
+
+    monkeypatch.setattr(stage_kernel, "_PACK_W", 16)
+    assert stage_kernel._pack_factor(shapes[0][0], shapes[0][2]) > 1
+    block, spade, bvars, svars, parts = _init_pair(rng, planes, label, shapes, nh)
+    want = _reference_stage(block, spade, bvars, svars, parts)
+    got = _fused_stage(block, spade, bvars, svars, parts,
+                       sum(s[-1] for s in shapes))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_bneck_stage_parity_lane_packed(rng, monkeypatch):
+    from ssunet_gan_tpu.ops import stage_kernel
+    from ssunet_gan_tpu.ops.blocks import Bottleneck
+    from ssunet_gan_tpu.ops.stage_kernel import fused_eval_stage_bneck
+
+    monkeypatch.setattr(stage_kernel, "_PACK_W", 16)
+    planes, cin = 16, 8
+    x = jnp.asarray(rng.normal(size=(4, 16, 8, cin)).astype(np.float32))
+    block = Bottleneck(planes, in_planes=cin)
+    bvars = jax.jit(lambda: block.init(jax.random.PRNGKey(3), x, True))()
+    spade = SPADE("spadebatch3x3", planes, 3, 4.0)
+    y0 = jnp.zeros(x.shape[:3] + (planes,), jnp.float32)
+    svars = jax.jit(lambda: spade.init(jax.random.PRNGKey(4), y0, y0))()
+
+    y = block.apply(bvars, x, False)
+    want = spade.apply(svars, y, y)
+    bp = block.apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+    got = fused_eval_stage_bneck((x,), bp, sp)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_int8_stage_lane_packed(rng, monkeypatch):
+    from ssunet_gan_tpu.ops import stage_kernel
+    from ssunet_gan_tpu.ops.stage_kernel_int8 import fused_eval_stage_int8
+
+    monkeypatch.setattr(stage_kernel, "_PACK_W", 16)
+    shapes = [(4, 16, 8, 8)]
+    block, spade, bvars, svars, parts = _init_pair(rng, 16, 3, shapes, 4.0)
+    want = np.asarray(_reference_stage(block, spade, bvars, svars, parts))
+    bp = BasicBlock(block.planes, in_planes=8).apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+    got = np.asarray(fused_eval_stage_int8(parts, bp, sp))
+    assert np.isfinite(got).all()
+    scale = np.abs(want).max() + 1e-6
+    rms = np.sqrt(np.mean((got - want) ** 2)) / scale
+    assert rms < 0.02, f"relative RMS {rms:.4f}"

@@ -91,6 +91,28 @@ def test_train_stage_gradient_parity(rng):
         assert rel < 1e-3, rel
 
 
+@pytest.mark.parametrize(
+    "n,h,w,cps,c",
+    [(2, 16, 8, (8,), 16), (1, 24, 16, (8, 4), 8), (2, 16, 8, (16,), 32)],
+)
+def test_conv3_wgrad_kernel_parity(rng, n, h, w, cps, c):
+    """The weight-grad Pallas kernel vs jax.linear_transpose of conv3."""
+    from ssunet_gan_tpu.ops.stage_kernel_train import _conv3, _conv3_wgrad
+
+    parts = [
+        jnp.asarray(rng.normal(size=(n, h, w, cp)).astype(np.float32))
+        for cp in cps
+    ]
+    g = jnp.asarray(rng.normal(size=(n, h, w, c)).astype(np.float32))
+    got = _conv3_wgrad(parts, g)
+    k0 = jnp.zeros((3, 3, sum(cps), c), jnp.float32)
+    want = jax.linear_transpose(lambda k: _conv3(list(parts), k), k0)(g)[0]
+    # f32 accumulation-order differences across ~n·h·w terms: loose atol
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+    )
+
+
 def test_flagship_train_forward_fused_matches_composition(rng):
     """Flagship train-mode forward + batch_stats updates: fused vs XLA."""
     x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))

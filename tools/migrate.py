@@ -124,6 +124,9 @@ def migrate(kind: str, src: str, dst=None, arch="UNet_R_SS_v2", num_classes=3,
                 ): v
                 for k, v in sd.items()
             }
+        # the classifier head has no trunk counterpart (children()[:-2])
+        fc_keys = sorted(k for k in sd if k.startswith("fc."))
+        sd = {k: v for k, v in sd.items() if not k.startswith("fc.")}
         model = ResNet101Trunk()
         tmpl = _template(model, (1, sample, sample, 3))
         wrapped_sd = {f"resnet_conv.{k}": v for k, v in sd.items()}
@@ -132,6 +135,7 @@ def migrate(kind: str, src: str, dst=None, arch="UNet_R_SS_v2", num_classes=3,
             "batch_stats": {"resnet_conv": tmpl["batch_stats"]},
         }
         conv, report = convert_torch_state_dict(wrapped_sd, wrapped)
+        report["skipped"] = list(report.get("skipped", [])) + fc_keys
         variables = {
             "params": conv["params"]["resnet_conv"],
             "batch_stats": conv["batch_stats"]["resnet_conv"],
