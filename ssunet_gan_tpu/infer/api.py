@@ -116,6 +116,17 @@ def load_segmentation_models(config_file: str):
     else:
         raise FileNotFoundError(f"no checkpoint in {model_dir}")
 
+    if bool(config.get("int8", False)):
+        # static PTQ scales live next to the model card (infer/calibrate.py);
+        # without them the int8 stages fall back to dynamic per-tensor scales
+        from ssunet_gan_tpu.infer.calibrate import load_calibration
+        from ssunet_gan_tpu.ops.stage_kernel_int8 import set_int8_calibration
+
+        scales = load_calibration(model_dir)
+        if scales is not None:
+            set_int8_calibration(scales)
+            print("=> int8 static calibration installed (%d ranges)" % len(scales))
+
     config["patch_size"] = 1024  # hardcoded by the reference (api:330)
     config["patch_overlap"] = val_config["patch_overlap"]
     return model, variables, config
@@ -239,10 +250,14 @@ def _norm_consts():
 def _get_forward(model, variables, mesh, normalize: bool = False):
     from ssunet_gan_tpu.ops.spade_kernel import fused_spade_mode
     from ssunet_gan_tpu.ops.stage_kernel import fused_stage_enabled
-    from ssunet_gan_tpu.ops.stage_kernel_int8 import int8_stage_enabled
+    from ssunet_gan_tpu.ops.stage_kernel_int8 import (
+        int8_calibration,
+        int8_stage_enabled,
+    )
 
     key = (model, mesh, id(variables), normalize, fused_spade_mode(),
-           fused_stage_enabled(), int8_stage_enabled())
+           fused_stage_enabled(), int8_stage_enabled(),
+           id(int8_calibration()))
     hit = _FORWARD_CACHE.get(key)
     if hit is not None:
         return hit[0], hit[1]

@@ -36,6 +36,8 @@ from ssunet_gan_tpu.ops.stage_kernel import (
 from ssunet_gan_tpu.ops.stage_kernel_int8 import (
     fused_eval_stage_int8,
     int8_stage_enabled,
+    record_sink,
+    record_stage_inputs,
 )
 from ssunet_gan_tpu.ops.stage_kernel_train import (
     fused_train_enabled,
@@ -79,6 +81,19 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
     parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
     in_planes = sum(p.shape[-1] for p in parts)
     spade_args = (SPADE_CONTEXT, planes, num_classes, planes / ss)
+    if not train and record_sink() is not None:
+        # int8 calibration pass: record stage-input abs-max tracers into the
+        # active sink and run the plain composition (stage outputs are
+        # parity-equal across paths, so the recorded ranges transfer)
+        record_stage_inputs(bname, parts)
+        if block == "vgg":
+            y = VGGBlock(planes, planes, name=bname)(x, train)
+        elif block == "bneck":
+            y = Bottleneck(planes, name=bname)(x, train)
+        else:
+            y = BasicBlock(planes, name=bname)(x, train)
+        y = SPADE(*spade_args, name=sname)(y, y)
+        return (y, None) if final_conv is None else (y, final_conv(y))
     if (
         train
         and block == "basic"
@@ -114,13 +129,14 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
         not train
         and block in ("basic", "vgg")
         and fused_stage_enabled()
-        and fused_stage_supported(parts, planes)
+        and fused_stage_supported(parts, planes, pack=True)
         # BasicBlock's shortcut conv must exist for the fused packing;
         # VGG stages have no shortcut at all (zero columns)
         and (block == "vgg" or in_planes != planes)
         and fused_stage_probe_ok(
             parts, planes, num_classes, int(max(planes / ss, 4)),
             None if final_conv is None else num_classes,
+            pack=True,
         )
     ):
         if block == "vgg":
@@ -131,7 +147,8 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
         sp = SPADE(*spade_args, name=sname)(None, None)
         head = None if final_conv is None else final_conv(None)
         if int8_stage_enabled():
-            out = fused_eval_stage_int8(parts, bp, sp, final_head=head)
+            out = fused_eval_stage_int8(parts, bp, sp, final_head=head,
+                                        calib_key=bname)
         else:
             out = fused_eval_stage(parts, bp, sp, final_head=head)
         return (out, None) if final_conv is None else (None, out)

@@ -43,7 +43,12 @@ from ssunet_gan_tpu.ops.spade_kernel import (
     _spade_tail,
     _zero_outside_image,
 )
-from ssunet_gan_tpu.ops.stage_kernel import _VMEM_LIMIT
+from ssunet_gan_tpu.ops.stage_kernel import (
+    _VMEM_LIMIT,
+    _pack_factor,
+    _pack_lanes,
+    _unpack_lanes,
+)
 
 # ---------------------------------------------------------------------------
 # Mode toggle: int8 is OPT-IN (config key "int8" / set_int8_stage) — it is a
@@ -62,6 +67,58 @@ def int8_stage_enabled() -> bool:
     return _INT8_STAGE
 
 
+# ---------------------------------------------------------------------------
+# Static activation-scale calibration. Dynamic per-tensor scales cost a full
+# abs-max reduction pass over every stage input in XLA (an extra HBM read of
+# the largest tensors in the model) and make the quantization data-dependent.
+# A calibration pass (infer/calibrate.py) records per-stage-input abs-max
+# over representative tiles; with those scales installed the quantize step
+# is ONE fused elementwise op, and the numbers are batch-independent.
+#
+# ``_CALIB_SCALES`` maps "<stage-name>:<part-index>" → float abs-max.
+# ``_RECORD_SINK`` (a dict) switches the model dispatch into record mode:
+# stages run the normal composition and write their input abs-max tracers
+# into the sink, which the calibration wrapper returns as jit outputs.
+# ---------------------------------------------------------------------------
+
+_CALIB_SCALES: Optional[dict] = None
+_RECORD_SINK: Optional[dict] = None
+
+
+def set_int8_calibration(scales: Optional[dict]) -> None:
+    """Install static activation scales ({"stage:i": abs_max}) or None to
+    return to dynamic per-tensor quantization."""
+    global _CALIB_SCALES
+    _CALIB_SCALES = dict(scales) if scales is not None else None
+
+
+def int8_calibration() -> Optional[dict]:
+    return _CALIB_SCALES
+
+
+def set_record_sink(sink: Optional[dict]) -> None:
+    global _RECORD_SINK
+    _RECORD_SINK = sink
+
+
+def record_sink() -> Optional[dict]:
+    return _RECORD_SINK
+
+
+def record_stage_inputs(key: str, parts) -> None:
+    """Record-mode hook (model dispatch): write each stage input's abs-max
+    tracer into the active sink, maxing over previous writes (several model
+    applications in one trace accumulate)."""
+    if _RECORD_SINK is None:
+        return
+    for i, p in enumerate(parts):
+        m = jnp.max(jnp.abs(p.astype(jnp.float32)))
+        k = f"{key}:{i}"
+        _RECORD_SINK[k] = (
+            m if k not in _RECORD_SINK else jnp.maximum(_RECORD_SINK[k], m)
+        )
+
+
 def _rowscale(acc_f32: jax.Array, d: jax.Array) -> jax.Array:
     """Per-output-channel scale on a (C, W) slab.
 
@@ -71,13 +128,20 @@ def _rowscale(acc_f32: jax.Array, d: jax.Array) -> jax.Array:
     return acc_f32 * d
 
 
-def quantize_tensor(x: jax.Array):
+def quantize_tensor(x: jax.Array, abs_max: Optional[float] = None):
     """Per-tensor symmetric int8 quantization (XLA side).
 
     Returns (q, scale): ``x ≈ q · scale`` with q ∈ [-127, 127], zero-point
     0 (so zero-padding halos stay exact in the quantized domain).
+
+    ``abs_max`` (a calibrated static bound) skips the data-dependent abs-max
+    reduction — the quantize becomes one fused elementwise op and values
+    beyond the calibration range saturate (standard max-calibration PTQ).
     """
-    m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    if abs_max is None:
+        m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    else:
+        m = jnp.float32(abs_max)
     s = jnp.maximum(m / 127.0, 1e-12)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
     return q, s
@@ -105,7 +169,7 @@ def _quant_band(h: jax.Array):
 
 
 def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
-                      h_img: int, has_final: bool, dtype):
+                      h_img: int, has_final: bool, dtype, sub_w: int = 0):
     csum = sum(part_ch)
 
     def kernel(*refs):
@@ -141,7 +205,7 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                     for dy in range(3):
                         r = xh_parts[p][t + dy]
                         for dx in range(3):
-                            taps.append(_shift_w(r, dx))
+                            taps.append(_shift_w(r, dx, sub_w))
                 x9 = jnp.concatenate(taps, axis=0)  # (9·ΣCp, W) int8
                 acc = jax.lax.dot_general(
                     wq1_ref[:], x9, (((1,), (0,)), ((), ())),
@@ -164,7 +228,7 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                 for dy in range(3):
                     r = qh1[t + dy]
                     for dx in range(3):
-                        taps.append(_shift_w(r, dx))
+                        taps.append(_shift_w(r, dx, sub_w))
                 h9 = jnp.concatenate(taps, axis=0)  # (9C, W) int8
                 acc2 = jax.lax.dot_general(
                     wq2_ref[:], h9, (((1,), (0,)), ((), ())),
@@ -188,7 +252,7 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
             y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
 
             out = _spade_tail(
-                y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype
+                y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w
             )
             if not has_final:
                 o_ref[:] = out
@@ -220,7 +284,7 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
 
 
 def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
-                     dtype, KF=None):
+                     dtype, KF=None, sub_w: int = 0):
     """parts_q: list of (N, H, Cp, W) int8 views; returns (N, H, C_out, W)
     in ``dtype`` (C_out = stage width, or classes when KF folds the head)."""
     n, h, _, w = parts_q[0].shape
@@ -244,7 +308,8 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
 
     weights = [Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s] + ([] if KF is None else [KF])
     return pl.pallas_call(
-        _make_kernel_int8(n_parts, th, c, w, part_ch, h, KF is not None, dtype),
+        _make_kernel_int8(n_parts, th, c, w, part_ch, h, KF is not None, dtype,
+                          sub_w),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
@@ -274,8 +339,10 @@ def fused_eval_stage_int8(
     block_bundle: Tuple,
     spade_bundle: Tuple,
     final_head: Optional[Tuple] = None,
+    calib_key: Optional[str] = None,
 ) -> jax.Array:
-    """int8 eval stage: quantize inputs (dynamic per-tensor), run the int8
+    """int8 eval stage: quantize inputs (dynamic per-tensor, or static when
+    ``calib_key`` hits installed calibration scales), run the int8
     rolling-halo kernel, emit the stage output (or folded logits) in the
     activation dtype.
 
@@ -288,8 +355,16 @@ def fused_eval_stage_int8(
     lab = k1s.shape[-1]
     nh = k2s.shape[-1]
 
-    # quantize the stage inputs (XLA): per-tensor dynamic symmetric scales
-    qparts, sx = zip(*(quantize_tensor(p) for p in parts))
+    # quantize the stage inputs (XLA): static calibrated scales when
+    # available, else per-tensor dynamic symmetric scales
+    def _amax(i):
+        if _CALIB_SCALES is None or calib_key is None:
+            return None
+        return _CALIB_SCALES.get(f"{calib_key}:{i}")
+
+    qparts, sx = zip(
+        *(quantize_tensor(p, _amax(i)) for i, p in enumerate(parts))
+    )
 
     # fold BN eval scale into conv weights, then the per-part input scale
     # into the corresponding weight columns, then per-row weight quant
@@ -314,8 +389,10 @@ def fused_eval_stage_int8(
         ]
     Wqs, ds = _quant_rows(jnp.concatenate(ks_parts, axis=1))  # (C, ΣCp)
     # per-channel dequant/bias vectors, pre-tiled to (C, W) lanes: Mosaic
-    # rejects (C,1)-shaped broadcasts in-kernel (r2 finding)
-    w_img = parts[0].shape[2]
+    # rejects (C,1)-shaped broadcasts in-kernel (r2 finding). Deep levels
+    # lane-pack f images side by side, so tile to the PACKED width.
+    f = _pack_factor(parts[0].shape[0], parts[0].shape[2])
+    w_img = parts[0].shape[2] * f
     DQ = jnp.stack(
         [
             jnp.tile(v.astype(jnp.float32)[:, None], (1, w_img))
@@ -347,7 +424,13 @@ def fused_eval_stage_int8(
         ).astype(dtype)  # (ncls, C+1)
 
     parts_q = [jnp.swapaxes(q, 2, 3) for q in qparts]  # (N, H, Cp, W) int8
+    sub_w = parts_q[0].shape[-1] if f > 1 else 0
+    if f > 1:
+        parts_q = [_pack_lanes(q, f) for q in parts_q]
     outv = _stage_call_int8(
-        parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, 8, dtype, KF=KF
+        parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, 8, dtype, KF=KF,
+        sub_w=sub_w,
     )
+    if f > 1:
+        outv = _unpack_lanes(outv, f)
     return jnp.swapaxes(outv, 2, 3)

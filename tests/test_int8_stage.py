@@ -18,7 +18,9 @@ from ssunet_gan_tpu.ops.stage_kernel import set_fused_stage
 from ssunet_gan_tpu.ops.stage_kernel_int8 import (
     fused_eval_stage_int8,
     quantize_tensor,
+    set_int8_calibration,
     set_int8_stage,
+    set_record_sink,
 )
 from ssunet_gan_tpu.utils import jit_init
 
@@ -31,6 +33,8 @@ def _restore_flags():
     set_fused_stage(None)
     set_int8_stage(False)
     set_fused_spade(None)
+    set_int8_calibration(None)
+    set_record_sink(None)
 
 
 @pytest.fixture
@@ -100,6 +104,72 @@ def test_flagship_int8_model_runs_and_tracks_f32(rng):
     assert agree > 0.98, agree
     cc = np.corrcoef(got.ravel(), want.ravel())[0, 1]
     assert cc > 0.99, cc
+
+
+def test_static_calibration_stage_parity(rng):
+    """With calibrated (exact) abs-max scales installed, the fused int8
+    stage must match the dynamic-scale path bit-for-bit — the dynamic path
+    computes exactly these maxima."""
+    from ssunet_gan_tpu.ops.blocks import BasicBlock
+
+    shapes = [(2, 16, 16, 8), (2, 16, 16, 16)]
+    block, spade, bvars, svars, parts = _init_pair(rng, 16, 3, shapes, 4.0)
+    bp = BasicBlock(block.planes, in_planes=24).apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+
+    dyn = np.asarray(fused_eval_stage_int8(parts, bp, sp))
+    scales = {
+        f"stage:{i}": float(jnp.max(jnp.abs(p))) for i, p in enumerate(parts)
+    }
+    set_int8_calibration(scales)
+    stat = np.asarray(fused_eval_stage_int8(parts, bp, sp, calib_key="stage"))
+    np.testing.assert_array_equal(dyn, stat)
+
+    # saturation semantics: halving the calibrated range still yields a
+    # finite, well-correlated output (values past the range clip to ±127)
+    set_int8_calibration({k: v * 0.5 for k, v in scales.items()})
+    sat = np.asarray(fused_eval_stage_int8(parts, bp, sp, calib_key="stage"))
+    assert np.isfinite(sat).all()
+    assert np.corrcoef(sat.ravel(), dyn.ravel())[0, 1] > 0.98
+
+
+def test_record_and_calibrate_flagship(rng, tmp_path):
+    """End-to-end PTQ flow: record ranges on the flagship, install them,
+    and check the calibrated int8 forward still tracks f32."""
+    from ssunet_gan_tpu.infer.calibrate import (
+        calibrate_int8,
+        load_calibration,
+        record_activation_ranges,
+    )
+
+    x = np.asarray(rng.normal(size=(2, 32, 32, 3)), np.float32)
+    model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
+    set_fused_stage(False)
+    variables = jit_init(model, jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    want = np.asarray(model.apply(variables, jnp.asarray(x), False))
+
+    ranges = record_activation_ranges(model, variables, x, batch_size=2)
+    # every conv stage of the v2 arch records at least its first input part
+    expected = {
+        "conv0_0", "conv1_0", "conv2_0", "conv3_0", "conv4_0", "conv5_0",
+        "conv4_1", "conv3_1", "conv2_1", "conv1_1", "conv0_1",
+    }
+    assert expected == {k.split(":")[0] for k in ranges}
+    assert all(np.isfinite(v) and v > 0 for v in ranges.values())
+    # the first stage sees the raw input: its range is the input abs-max
+    assert ranges["conv0_0:0"] == pytest.approx(float(np.abs(x).max()), rel=1e-6)
+
+    calibrate_int8(model, variables, x, model_dir=str(tmp_path), batch_size=2)
+    assert load_calibration(str(tmp_path)) == pytest.approx(ranges)
+
+    set_fused_stage(True)
+    set_int8_stage(True)
+    got = np.asarray(model.apply(variables, jnp.asarray(x), False))
+    assert np.isfinite(got).all()
+    pw = 1.0 / (1.0 + np.exp(-want))
+    pg = 1.0 / (1.0 + np.exp(-got))
+    assert np.mean((pw > 0.5) == (pg > 0.5)) > 0.98
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
 
 
 def test_int8_dispatch_respects_flag(rng):

@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Flagship tile-forward throughput under each eval mode (real TPU).
+
+Measures the 512x512/batch-32 bf16 forward (the bench.py headline shape)
+with: fused stages OFF, ON (bf16), int8 dynamic scales, int8 static
+calibrated scales.  One JSON line per mode.
+
+Usage: python tools/bench_modes.py [--modes bf16,fused,int8,int8cal]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default="bf16,fused,int8,int8cal")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--tile", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ssunet_gan_tpu.models import build_model
+    from ssunet_gan_tpu.ops.stage_kernel import set_fused_stage
+    from ssunet_gan_tpu.ops.stage_kernel_int8 import (
+        set_int8_calibration,
+        set_int8_stage,
+    )
+    from ssunet_gan_tpu.utils import jit_init
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
+    x0 = jnp.zeros((args.batch, args.tile, args.tile, 3), dtype)
+    set_fused_stage(False)
+    variables = jit_init(model, jax.random.PRNGKey(0), x0, train=False)
+
+    rng = np.random.default_rng(0)
+    xh = rng.normal(size=x0.shape).astype(np.float32)
+    x = jnp.asarray(xh, dtype)
+
+    def timed(label):
+        @jax.jit
+        def forward(image):
+            return jax.nn.sigmoid(model.apply(variables, image, False))
+
+        jax.block_until_ready(forward(x))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.iters):
+            out = forward(x)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        tps = args.batch * args.iters / dt
+        print(json.dumps({"mode": label, "tiles_per_sec": round(tps, 2),
+                          "ms_per_batch": round(1e3 * dt / args.iters, 2)}),
+              flush=True)
+
+    modes = args.modes.split(",")
+    if "bf16" in modes:
+        set_fused_stage(False); set_int8_stage(False)
+        timed("bf16-unfused")
+    if "fused" in modes:
+        set_fused_stage(True); set_int8_stage(False)
+        timed("bf16-fused")
+    if "int8" in modes:
+        set_fused_stage(True); set_int8_stage(True)
+        timed("int8-dynamic")
+    if "int8cal" in modes:
+        from ssunet_gan_tpu.infer.calibrate import calibrate_int8
+
+        set_fused_stage(True); set_int8_stage(False)
+        calibrate_int8(model, variables, xh[:8], batch_size=8)
+        set_int8_stage(True)
+        timed("int8-calibrated")
+        set_int8_calibration(None)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
