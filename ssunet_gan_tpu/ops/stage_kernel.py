@@ -67,7 +67,12 @@ def fused_stage_enabled() -> bool:
     return bool(_FUSED_STAGE)
 
 
-_VMEM_LIMIT = 28 * 1024 * 1024  # raised scoped-VMEM cap for the fat stages
+_VMEM_LIMIT = 64 * 1024 * 1024  # scoped-VMEM cap for the fat stages (v5e has
+# 128 MB VMEM; 64 MB leaves XLA room for the op's I/O pipelining). The packed
+# deep levels genuinely need ~29-45 MB of stack.
+_PROBE_MARGIN = 6 * 1024 * 1024  # probes compile against a TIGHTER cap: the
+# r3 OOM showed the in-model schedule can need ~1 MB more stack than the
+# isolated probe program, so probe-pass must imply model-pass with headroom.
 
 # ---------------------------------------------------------------------------
 # Deep-level lane packing. The W ≤ 64 levels starve the 128-lane vector unit
@@ -79,6 +84,21 @@ _VMEM_LIMIT = 28 * 1024 * 1024  # raised scoped-VMEM cap for the fat stages
 # ---------------------------------------------------------------------------
 
 _PACK_W = 128
+
+# Widest stage admitted via lane packing. MEASURED NEGATIVE at every depth
+# (r3 sweep, flagship 512² b=32 on v5e): adding packed deep levels is
+# monotonically slower in both modes — bf16 170.3 → 159.1 → 154.2 → 153.7
+# tiles/s and int8-cal 224.2 → 215.4 → 212.5 → 210.1 for pmax 256/384/512/
+# 768 — XLA's deep convs beat the packed rolling-halo kernels at W ≤ 64
+# (the pack/unpack relayouts around each kernel eat the lane-occupancy win).
+# Default therefore stays at the shallow-only gate; deeper packing remains a
+# working opt-in (set_pack_max_planes) with the kernels parity-tested.
+_PACK_MAX_PLANES = 256
+
+
+def set_pack_max_planes(planes: int) -> None:
+    global _PACK_MAX_PLANES
+    _PACK_MAX_PLANES = int(planes)
 
 
 def _pack_factor(n: int, w: int) -> int:
@@ -164,7 +184,7 @@ def fused_stage_supported(
         and h % 8 == 0
         and h >= 8
         and wp >= min_w
-        and planes <= (768 if pack else 256)
+        and planes <= (max(_PACK_MAX_PLANES, 256) if pack else 256)
         and _pick_th(
             h, wp, planes, [p.shape[-1] for p in parts],
             parts[0].dtype.itemsize,
@@ -218,8 +238,11 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0) -> bool:
         return True  # no Mosaic/VMEM on the interpreter path
     s = jax.ShapeDtypeStruct
     csum = sum(part_ch)
+    # batch 2, not 1: a multi-image grid forces the same cross-block
+    # double-buffering schedule the real model call gets (r3: an n=1 probe
+    # under-scheduled and passed where the in-model kernel OOMed)
     args = (
-        [s((1, h, cp, w), dtype) for cp in part_ch]
+        [s((2, h, cp, w), dtype) for cp in part_ch]
         + [
             s((c, 9 * csum + 1), dtype),       # K1cat
             s((c, 9 * c + csum + 1), dtype),   # K2SC
@@ -234,7 +257,8 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0) -> bool:
         pv = list(arrs[: len(part_ch)])
         k1, k2sc, k1s, k2s, k3s = arrs[len(part_ch) : len(part_ch) + 5]
         kf = arrs[len(part_ch) + 5] if num_out is not None else None
-        return _stage_call(pv, k1, k2sc, k1s, k2s, k3s, 8, KF=kf, sub_w=sub_w)
+        return _stage_call(pv, k1, k2sc, k1s, k2s, k3s, 8, KF=kf, sub_w=sub_w,
+                           vmem_limit=_VMEM_LIMIT - _PROBE_MARGIN)
 
     try:
         jax.jit(fn).lower(*args).compile()
@@ -341,7 +365,7 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
 
 
 def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
-                sub_w: int = 0):
+                sub_w: int = 0, vmem_limit: Optional[int] = None):
     """parts_v: list of (N, H, Cp, W) views; returns (N, H, C_out, W)
     where C_out is the stage width, or the final head's class count when
     ``KF`` folds the model's last 1×1 conv in."""
@@ -382,7 +406,9 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
         scratch_shapes=[
             pltpu.VMEM((th + 5, part_ch[p], w), dtype) for p in range(n_parts)
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit or _VMEM_LIMIT
+        ),
         interpret=_interpret(),
     )(*parts_v, *weights)
 
