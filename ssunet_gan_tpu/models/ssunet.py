@@ -38,6 +38,7 @@ from ssunet_gan_tpu.ops.stage_kernel_int8 import (
     int8_stage_enabled,
     record_sink,
     record_stage_inputs,
+    xla_int8_block,
 )
 from ssunet_gan_tpu.ops.stage_kernel_train import (
     fused_train_enabled,
@@ -152,6 +153,19 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
         else:
             out = fused_eval_stage(parts, bp, sp, final_head=head)
         return (out, None) if final_conv is None else (None, out)
+    if not train and block in ("basic", "vgg") and int8_stage_enabled():
+        # deep/unfused stage in int8 mode: XLA-native s8 convs (the MXU runs
+        # them at 2× bf16; fusing these W ≤ 64 levels measured slower — see
+        # stage_kernel._PACK_MAX_PLANES); SPADE stays the bf16 composition
+        if block == "vgg":
+            bp = VGGBlock(planes, planes, in_channels=in_planes,
+                          name=bname)(None, False)
+        else:
+            bp = BasicBlock(planes, in_planes=in_planes, name=bname)(None, False)
+        y = xla_int8_block(parts, bp, calib_key=bname,
+                           residual=(block != "vgg"))
+        y = SPADE(*spade_args, name=sname)(y, y)
+        return (y, None) if final_conv is None else (y, final_conv(y))
     if block == "vgg":
         y = maybe_remat(VGGBlock)(planes, planes, name=bname)(x, train)
     elif block == "bneck":

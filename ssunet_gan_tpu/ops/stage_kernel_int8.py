@@ -164,6 +164,99 @@ def _quant_band(h: jax.Array):
 
 
 # ---------------------------------------------------------------------------
+# XLA int8 path for the DEEP (unfused) stages. The W ≤ 64 pyramid levels
+# don't fuse profitably (deep-level lane packing measured slower end-to-end
+# at every depth — see stage_kernel._PACK_MAX_PLANES), but their bf16 convs
+# are ~25 ms/iter of the flagship's 140 ms int8 profile and the v5e MXU runs
+# s8×s8→s32 at 2× the bf16 rate. This path applies the SAME quantization
+# scheme as the fused kernel through plain `lax.conv_general_dilated` calls
+# (XLA lowers int8 convs to the MXU natively): static-or-dynamic per-tensor
+# input scales folded into per-output-channel int8 weights, f32 dequant
+# fused with the BN affine and ReLU, dynamic per-tensor h1 requantization.
+# SPADE stays bf16 in the caller (module composition).
+# ---------------------------------------------------------------------------
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _quant_hwio(w: jax.Array):
+    """Per-output-channel symmetric int8 quantization of an HWIO kernel."""
+    m = jnp.max(jnp.abs(w), axis=(0, 1, 2))
+    s = jnp.maximum(m / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _conv_s8(qx: jax.Array, qw: jax.Array, pad: int) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        qx, qw, (1, 1), [(pad, pad), (pad, pad)],
+        dimension_numbers=_DN, preferred_element_type=jnp.int32,
+    )
+
+
+def xla_int8_block(parts: Sequence[jax.Array], block_bundle: Tuple,
+                   calib_key: Optional[str] = None,
+                   residual: bool = True) -> jax.Array:
+    """int8 BasicBlock/VGGBlock eval forward via XLA native s8 convs.
+
+    ``block_bundle`` is the modules' param-fetch output (BN eval affines
+    folded): ``(k1, (s1, t1), k2, (s2, t2), ks_or_None)``. ``residual=False``
+    marks a VGG stage (plain conv chain, never a residual add); a BasicBlock
+    with ``ks=None`` adds the concatenated input (identity shortcut).
+
+    Returns the block output (pre-SPADE) in the activation dtype; the
+    caller applies SPADE as the normal module composition.
+    """
+    k1, (s1, t1), k2, (s2, t2), ks = block_bundle
+    dtype = parts[0].dtype
+    csum = sum(p.shape[-1] for p in parts)
+
+    def _amax(i):
+        if _CALIB_SCALES is None or calib_key is None:
+            return None
+        return _CALIB_SCALES.get(f"{calib_key}:{i}")
+
+    qparts, sx = zip(*(quantize_tensor(p, _amax(i)) for i, p in enumerate(parts)))
+    qcat = qparts[0] if len(qparts) == 1 else jnp.concatenate(qparts, axis=-1)
+
+    # conv1: fold bn1 scale + per-part input scales into the weight columns,
+    # then per-output-channel quantize
+    k1f = (k1 * s1).astype(jnp.float32)  # (3, 3, ΣCp, C) ← bn scale on O
+    offs = [0]
+    for p in parts:
+        offs.append(offs[-1] + p.shape[-1])
+    k1f = jnp.concatenate(
+        [k1f[:, :, offs[i] : offs[i + 1], :] * sx[i] for i in range(len(parts))],
+        axis=2,
+    )
+    Wq1, d1 = _quant_hwio(k1f)
+    h1 = jax.nn.relu(_conv_s8(qcat, Wq1, 1).astype(jnp.float32) * d1 + t1)
+
+    # dynamic per-tensor requantization of h1 (cheap at deep widths)
+    qh1, sh1 = quantize_tensor(h1)
+    k2f = (k2 * s2).astype(jnp.float32)
+    Wq2, d2 = _quant_hwio(k2f)
+    acc2 = _conv_s8(qh1, Wq2, 1).astype(jnp.float32) * (d2 * sh1) + t2
+
+    if ks is not None:  # projection shortcut (1×1, per-part input scales)
+        ksf = jnp.concatenate(
+            [
+                ks[:, :, offs[i] : offs[i + 1], :].astype(jnp.float32) * sx[i]
+                for i in range(len(parts))
+            ],
+            axis=2,
+        )
+        Wqs, dsc = _quant_hwio(ksf)
+        acc2 = acc2 + _conv_s8(qcat, Wqs, 0).astype(jnp.float32) * dsc
+    elif residual:  # identity shortcut (BasicBlock, in_planes == planes)
+        xid = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        acc2 = acc2 + xid.astype(jnp.float32)
+    # else: VGG chain — no residual add at all
+
+    return jax.nn.relu(acc2).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
 # Kernel.
 # ---------------------------------------------------------------------------
 

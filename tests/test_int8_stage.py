@@ -106,6 +106,31 @@ def test_flagship_int8_model_runs_and_tracks_f32(rng):
     assert cc > 0.99, cc
 
 
+@pytest.mark.parametrize(
+    "planes,cin,vgg", [(16, 8, False), (16, 16, False), (12, 12, True)]
+)
+def test_xla_int8_block_tracks_f32(rng, planes, cin, vgg):
+    """The XLA-native s8-conv block (deep/unfused stages in int8 mode) must
+    track the f32 module composition within quantization error."""
+    import jax
+    from ssunet_gan_tpu.ops.blocks import BasicBlock, VGGBlock
+    from ssunet_gan_tpu.ops.stage_kernel_int8 import xla_int8_block
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, cin)).astype(np.float32))
+    if vgg:
+        block = VGGBlock(planes, planes, in_channels=cin)
+    else:
+        block = BasicBlock(planes, in_planes=cin)
+    bvars = jax.jit(lambda: block.init(jax.random.PRNGKey(5), x, True))()
+    want = np.asarray(block.apply(bvars, x, False))
+    bp = block.apply(bvars, None, False)
+    got = np.asarray(xla_int8_block((x,), bp, residual=not vgg))
+    assert np.isfinite(got).all()
+    scale = np.abs(want).max() + 1e-6
+    rms = np.sqrt(np.mean((got - want) ** 2)) / scale
+    assert rms < 0.02, f"relative RMS {rms:.4f}"
+
+
 def test_static_calibration_stage_parity(rng):
     """With calibrated (exact) abs-max scales installed, the fused int8
     stage must match the dynamic-scale path bit-for-bit — the dynamic path
