@@ -49,7 +49,8 @@ def main() -> None:
         return jax.nn.sigmoid(logits)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=x0.shape).astype(np.float32), dtype=x0.dtype)
+    xh = rng.normal(size=x0.shape).astype(np.float32)
+    x = jnp.asarray(xh, dtype=x0.dtype)
 
     jax.block_until_ready(forward(x))  # compile + warmup
     t0 = time.perf_counter()
@@ -60,6 +61,33 @@ def main() -> None:
 
     tiles_per_sec = batch * iters / dt
 
+    # opt-in int8 eval mode (static max-calibration PTQ): the quantized
+    # counterpart of the headline number, reported separately because it is
+    # an approximation (accuracy bars: tools/accuracy_bar.py + BASELINE.md)
+    int8_tiles_per_sec = None
+    if on_tpu:
+        from ssunet_gan_tpu.infer.calibrate import calibrate_int8
+        from ssunet_gan_tpu.ops.stage_kernel_int8 import (
+            set_int8_calibration,
+            set_int8_stage,
+        )
+
+        calibrate_int8(model, variables, xh[:8], batch_size=8)
+        set_int8_stage(True)
+
+        @jax.jit
+        def forward_int8(image):
+            return jax.nn.sigmoid(model.apply(variables, image, False))
+
+        jax.block_until_ready(forward_int8(x))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = forward_int8(x)
+        jax.block_until_ready(out)
+        int8_tiles_per_sec = round(batch * iters / (time.perf_counter() - t0), 2)
+        set_int8_stage(False)
+        set_int8_calibration(None)
+
     scene = bench_scene(model, variables, on_tpu)
     print(
         json.dumps(
@@ -68,6 +96,7 @@ def main() -> None:
                 "value": round(tiles_per_sec, 2),
                 "unit": "tiles/s",
                 "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 4),
+                **({"int8_tiles_per_sec": int8_tiles_per_sec} if int8_tiles_per_sec else {}),
                 **scene,
             }
         )

@@ -21,6 +21,7 @@ floored at 4 inside SPADE.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ssunet_gan_tpu.ops.blocks import BasicBlock, Bottleneck, VGGBlock, maybe_remat
@@ -34,7 +35,9 @@ from ssunet_gan_tpu.ops.stage_kernel import (
     fused_stage_supported,
 )
 from ssunet_gan_tpu.ops.stage_kernel_int8 import (
+    QTensor,
     fused_eval_stage_int8,
+    int8_calibration,
     int8_stage_enabled,
     record_sink,
     record_stage_inputs,
@@ -60,8 +63,39 @@ def _up(x: jax.Array) -> jax.Array:
     return upsample_bilinear(x, 2, align_corners=True)
 
 
+def _out_amax(key):
+    """Static calibrated abs-max covering a stage's OUTPUT: the key is the
+    skip-connection consumer's recorded input (the output tensor itself),
+    so quantizing the producer at this scale is exact max-calibration PTQ
+    for every consumer (pooled views are subsets — never larger)."""
+    if key is None:
+        return None
+    cal = int8_calibration()
+    return None if cal is None else cal.get(key)
+
+
+def _dq(t):
+    return t.dequant() if isinstance(t, QTensor) else t
+
+
+def _qpool_idx(t):
+    """max_pool_2x2_with_indices through a QTensor (pooling commutes with
+    symmetric quantization: pooled values are a subset of the elements)."""
+    if isinstance(t, QTensor):
+        p, idx = max_pool_2x2_with_indices(t.q)
+        return QTensor(p, t.scale, t.dtype), idx
+    return max_pool_2x2_with_indices(t)
+
+
+def _qpool(t):
+    if isinstance(t, QTensor):
+        return QTensor(max_pool_2x2(t.q), t.scale, t.dtype)
+    return max_pool_2x2(t)
+
+
 def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
-                 final_conv=None, block: str = "basic"):
+                 final_conv=None, block: str = "basic",
+                 out_calib_key=None):
     """One ss-UNet stage: conv block + self-SPADE.
 
     ``block`` selects the conv block: ``"basic"`` (BasicBlock, the R_SS
@@ -79,7 +113,13 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
     activation never leaves VMEM); the composition path applies it after.
     Returns (stage_output_or_None, logits_or_None).
     """
-    parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+    # NB: QTensor is itself a NamedTuple — it must not be unpacked as a
+    # multi-part input
+    parts = (
+        tuple(x)
+        if isinstance(x, (tuple, list)) and not isinstance(x, QTensor)
+        else (x,)
+    )
     in_planes = sum(p.shape[-1] for p in parts)
     spade_args = (SPADE_CONTEXT, planes, num_classes, planes / ss)
     if not train and record_sink() is not None:
@@ -148,8 +188,11 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
         sp = SPADE(*spade_args, name=sname)(None, None)
         head = None if final_conv is None else final_conv(None)
         if int8_stage_enabled():
-            out = fused_eval_stage_int8(parts, bp, sp, final_head=head,
-                                        calib_key=bname)
+            out = fused_eval_stage_int8(
+                parts, bp, sp, final_head=head, calib_key=bname,
+                out_abs_max=None if final_conv is not None
+                else _out_amax(out_calib_key),
+            )
         else:
             out = fused_eval_stage(parts, bp, sp, final_head=head)
         return (out, None) if final_conv is None else (None, out)
@@ -165,7 +208,20 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
         y = xla_int8_block(parts, bp, calib_key=bname,
                            residual=(block != "vgg"))
         y = SPADE(*spade_args, name=sname)(y, y)
+        am = None if final_conv is not None else _out_amax(out_calib_key)
+        if am is not None:
+            # producer-side s8 emission (XLA): one fused quantize replaces
+            # every consumer's own quantize pass over this tensor
+            s = max(float(am) / 127.0, 1e-12)
+            q = jnp.clip(jnp.round(y.astype(jnp.float32) / s),
+                         -127, 127).astype(jnp.int8)
+            y = QTensor(q, s, y.dtype)
         return (y, None) if final_conv is None else (y, final_conv(y))
+    if any(isinstance(p, QTensor) for p in parts):
+        # composition fallback reached with producer-quantized inputs
+        # (e.g. a bneck stage consuming an s8 skip): dequantize first
+        parts = tuple(_dq(p) for p in parts)
+        x = parts if len(parts) > 1 else parts[0]
     if block == "vgg":
         y = maybe_remat(VGGBlock)(planes, planes, name=bname)(x, train)
     elif block == "bneck":
@@ -325,23 +381,28 @@ class UNetRSSv2(nn.Module):
         ss = 16  # archs.py:575
         C = self.num_classes
 
-        def stage(xin, feat, bname, sname):
-            return _basic_spade_stage(xin, feat, C, ss, bname, sname, train)[0]
+        def stage(xin, feat, bname, sname, out_key=None):
+            return _basic_spade_stage(xin, feat, C, ss, bname, sname, train,
+                                      out_calib_key=out_key)[0]
 
-        enc_0 = stage(x, f[0], "conv0_0", "SPADE0_0")
+        # Encoder stages name their skip-connection consumer ("convK_1:0")
+        # as the output calibration key: under int8 + static calibration the
+        # stage emits s8 at that scale and every consumer (pool chain and
+        # skip) reads it quantized — kernel-to-kernel int8 flow.
+        enc_0 = stage(x, f[0], "conv0_0", "SPADE0_0", out_key="conv0_1:0")
 
-        p0, idx0 = max_pool_2x2_with_indices(enc_0)
-        enc_1 = stage(p0, f[1], "conv1_0", "SPADE1_0")
+        p0, idx0 = _qpool_idx(enc_0)
+        enc_1 = stage(p0, f[1], "conv1_0", "SPADE1_0", out_key="conv1_1:0")
 
-        p1, idx1 = max_pool_2x2_with_indices(enc_1)
-        enc_2 = stage(p1, f[2], "conv2_0", "SPADE2_0")
+        p1, idx1 = _qpool_idx(enc_1)
+        enc_2 = stage(p1, f[2], "conv2_0", "SPADE2_0", out_key="conv2_1:0")
 
-        p2, idx2 = max_pool_2x2_with_indices(enc_2)
-        enc_3 = stage(p2, f[3], "conv3_0", "SPADE3_0")
+        p2, idx2 = _qpool_idx(enc_2)
+        enc_3 = stage(p2, f[3], "conv3_0", "SPADE3_0", out_key="conv3_1:0")
 
-        p3, idx3 = max_pool_2x2_with_indices(enc_3)
-        enc_4 = stage(p3, f[4], "conv4_0", "SPADE4_0")
-        p4, idx4 = max_pool_2x2_with_indices(enc_4)
+        p3, idx3 = _qpool_idx(enc_3)
+        enc_4 = stage(p3, f[4], "conv4_0", "SPADE4_0", out_key="conv4_1:0")
+        p4, idx4 = _qpool_idx(enc_4)
 
         enc_5 = stage(p4, f[5], "conv5_0", "SPADE5_0")
         enc_5 = Conv2d(f[4], 1, use_bias=False, name="conv_head5_0")(enc_5)

@@ -30,7 +30,7 @@ capability parity target: the eval path of
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -83,6 +83,27 @@ def int8_stage_enabled() -> bool:
 
 _CALIB_SCALES: Optional[dict] = None
 _RECORD_SINK: Optional[dict] = None
+
+
+class QTensor(NamedTuple):
+    """A producer-quantized activation flowing between stages: ``q`` is the
+    int8 NHWC tensor, ``scale`` the f32 dequantization scale (``x ≈ q·s``),
+    ``dtype`` the activation dtype the tensor logically stands in for.
+    Only exists under static calibration (the scale must be a trace-time
+    constant for the emitting kernel). Max-pooling commutes with symmetric
+    quantization (pooled values are a subset of the original elements), so
+    pooled QTensors keep the producer's scale."""
+
+    q: jax.Array
+    scale: float
+    dtype: object
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    def dequant(self) -> jax.Array:
+        return (self.q.astype(jnp.float32) * self.scale).astype(self.dtype)
 
 
 def set_int8_calibration(scales: Optional[dict]) -> None:
@@ -216,7 +237,12 @@ def xla_int8_block(parts: Sequence[jax.Array], block_bundle: Tuple,
             return None
         return _CALIB_SCALES.get(f"{calib_key}:{i}")
 
-    qparts, sx = zip(*(quantize_tensor(p, _amax(i)) for i, p in enumerate(parts)))
+    def _qin(i, p):
+        if isinstance(p, QTensor):
+            return p.q, jnp.float32(p.scale)
+        return quantize_tensor(p, _amax(i))
+
+    qparts, sx = zip(*(_qin(i, p) for i, p in enumerate(parts)))
     qcat = qparts[0] if len(qparts) == 1 else jnp.concatenate(qparts, axis=-1)
 
     # conv1: fold bn1 scale + per-part input scales into the weight columns,
@@ -249,7 +275,8 @@ def xla_int8_block(parts: Sequence[jax.Array], block_bundle: Tuple,
         Wqs, dsc = _quant_hwio(ksf)
         acc2 = acc2 + _conv_s8(qcat, Wqs, 0).astype(jnp.float32) * dsc
     elif residual:  # identity shortcut (BasicBlock, in_planes == planes)
-        xid = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+        fparts = [p.dequant() if isinstance(p, QTensor) else p for p in parts]
+        xid = fparts[0] if len(fparts) == 1 else jnp.concatenate(fparts, axis=-1)
         acc2 = acc2 + xid.astype(jnp.float32)
     # else: VGG chain — no residual add at all
 
@@ -262,7 +289,13 @@ def xla_int8_block(parts: Sequence[jax.Array], block_bundle: Tuple,
 
 
 def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
-                      h_img: int, has_final: bool, dtype, sub_w: int = 0):
+                      h_img: int, has_final: bool, dtype, sub_w: int = 0,
+                      out_inv_scale: Optional[float] = None):
+    """``out_inv_scale`` (a compile-time constant, = 127/abs_max from the
+    static calibration) switches the epilogue to emit s8 directly: the
+    SPADE-modulated stage output is quantized in-kernel, so the HBM write,
+    the output relayout copy and the consumer's quantize pass all move
+    half the bytes (kernel-to-kernel int8 flow)."""
     csum = sum(part_ch)
 
     def kernel(*refs):
@@ -347,7 +380,12 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
             out = _spade_tail(
                 y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w
             )
-            if not has_final:
+            if out_inv_scale is not None:
+                o_ref[:] = jnp.clip(
+                    jnp.round(out.astype(jnp.float32) * out_inv_scale),
+                    -127, 127,
+                ).astype(jnp.int8)
+            elif not has_final:
                 o_ref[:] = out
             else:
                 ones_row = jnp.ones((1, w), dtype)
@@ -377,9 +415,11 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
 
 
 def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
-                     dtype, KF=None, sub_w: int = 0):
+                     dtype, KF=None, sub_w: int = 0,
+                     out_inv_scale: Optional[float] = None):
     """parts_q: list of (N, H, Cp, W) int8 views; returns (N, H, C_out, W)
-    in ``dtype`` (C_out = stage width, or classes when KF folds the head)."""
+    in ``dtype`` (C_out = stage width, or classes when KF folds the head),
+    or int8 when ``out_inv_scale`` is set (kernel-to-kernel int8 flow)."""
     n, h, _, w = parts_q[0].shape
     c = Wq2.shape[0]
     n_parts = len(parts_q)
@@ -387,6 +427,7 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
     nh = h // th
     grid = (n, nh + 1)
     c_out = c if KF is None else KF.shape[0]
+    out_dtype = dtype if out_inv_scale is None else jnp.int8
 
     def cur_spec(p):
         return pl.BlockSpec(
@@ -402,7 +443,7 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
     weights = [Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s] + ([] if KF is None else [KF])
     return pl.pallas_call(
         _make_kernel_int8(n_parts, th, c, w, part_ch, h, KF is not None, dtype,
-                          sub_w),
+                          sub_w, out_inv_scale),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
@@ -413,7 +454,7 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
             lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((th + 5, part_ch[p], w), jnp.int8) for p in range(n_parts)
         ],
@@ -428,16 +469,20 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
 
 
 def fused_eval_stage_int8(
-    parts: Sequence[jax.Array],
+    parts: Sequence[Union[jax.Array, "QTensor"]],
     block_bundle: Tuple,
     spade_bundle: Tuple,
     final_head: Optional[Tuple] = None,
     calib_key: Optional[str] = None,
-) -> jax.Array:
+    out_abs_max: Optional[float] = None,
+) -> Union[jax.Array, "QTensor"]:
     """int8 eval stage: quantize inputs (dynamic per-tensor, or static when
-    ``calib_key`` hits installed calibration scales), run the int8
-    rolling-halo kernel, emit the stage output (or folded logits) in the
-    activation dtype.
+    ``calib_key`` hits installed calibration scales; a :class:`QTensor` part
+    arrives already quantized by its producer), run the int8 rolling-halo
+    kernel, emit the stage output (or folded logits) in the activation
+    dtype — or, with ``out_abs_max`` (a static calibrated range), quantize
+    the output in-kernel and return a :class:`QTensor` (kernel-to-kernel
+    int8 flow: the HBM write, relayout and consumer quantize all move s8).
 
     Bundles are identical to :func:`ops.stage_kernel.fused_eval_stage`.
     """
@@ -449,15 +494,19 @@ def fused_eval_stage_int8(
     nh = k2s.shape[-1]
 
     # quantize the stage inputs (XLA): static calibrated scales when
-    # available, else per-tensor dynamic symmetric scales
+    # available, else per-tensor dynamic symmetric scales; QTensor parts
+    # are already s8 with a known scale
     def _amax(i):
         if _CALIB_SCALES is None or calib_key is None:
             return None
         return _CALIB_SCALES.get(f"{calib_key}:{i}")
 
-    qparts, sx = zip(
-        *(quantize_tensor(p, _amax(i)) for i, p in enumerate(parts))
-    )
+    def _qin(i, p):
+        if isinstance(p, QTensor):
+            return p.q, jnp.float32(p.scale)
+        return quantize_tensor(p, _amax(i))
+
+    qparts, sx = zip(*(_qin(i, p) for i, p in enumerate(parts)))
 
     # fold BN eval scale into conv weights, then the per-part input scale
     # into the corresponding weight columns, then per-row weight quant
@@ -516,14 +565,24 @@ def fused_eval_stage_int8(
             [kf[0, 0].T, bf.reshape(kf.shape[-1], 1)], axis=1
         ).astype(dtype)  # (ncls, C+1)
 
+    out_inv = None
+    s_out = None
+    if out_abs_max is not None:
+        assert final_head is None, "folded-head stages emit logits, not s8"
+        s_out = max(float(out_abs_max) / 127.0, 1e-12)
+        out_inv = 1.0 / s_out
+
     parts_q = [jnp.swapaxes(q, 2, 3) for q in qparts]  # (N, H, Cp, W) int8
     sub_w = parts_q[0].shape[-1] if f > 1 else 0
     if f > 1:
         parts_q = [_pack_lanes(q, f) for q in parts_q]
     outv = _stage_call_int8(
         parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, 8, dtype, KF=KF,
-        sub_w=sub_w,
+        sub_w=sub_w, out_inv_scale=out_inv,
     )
     if f > 1:
         outv = _unpack_lanes(outv, f)
-    return jnp.swapaxes(outv, 2, 3)
+    out = jnp.swapaxes(outv, 2, 3)
+    if out_abs_max is not None:
+        return QTensor(out, s_out, dtype)
+    return out

@@ -60,8 +60,18 @@ from ssunet_gan_tpu.ops.stage_kernel import _VMEM_LIMIT
 BN_EPS = 1e-5
 
 # ---------------------------------------------------------------------------
-# Mode toggle: auto (None) = ON for single-device TPU processes (multi-chip
-# DP needs cross-device BN stats — composition path), OFF elsewhere.
+# Mode toggle: OPT-IN (default OFF). MEASURED NEGATIVE end-to-end on v5e
+# (r3 device trace, flagship b=8 @512² bf16): 250.4 ms/step fused vs the
+# XLA composition's 202.8 ms. The kernels do cut the conv compute itself
+# (conv+custom-call 143 ms vs XLA's 174.8 ms of conv fusions), but the
+# 3-program-per-stage structure adds W-minor boundary relayouts in both
+# directions (data formatting 6.9 → 48.7 ms) and strands the BN/ReLU
+# pointwise chains outside the conv fusions XLA would otherwise bury them
+# in (loop fusion 14.5 → 51.3 ms). Recovering the win needs a single-
+# program whole-stage train kernel (phase-gridded two-pass stats) — future
+# work; until then the XLA composition is the right default. Gradient
+# parity tests keep the opt-in sound. Multi-chip DP must stay on the
+# composition path regardless (cross-device BN stats).
 # ---------------------------------------------------------------------------
 
 _FUSED_TRAIN: Optional[bool] = None
@@ -74,7 +84,7 @@ def set_fused_train(enabled: Optional[bool]) -> None:
 
 def fused_train_enabled() -> bool:
     if _FUSED_TRAIN is None:
-        return jax.default_backend() == "tpu" and len(jax.devices()) == 1
+        return False
     return bool(_FUSED_TRAIN)
 
 

@@ -23,10 +23,57 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _make_city_dataset(input_root: str, name: str, n: int, size: int,
+                       seed: int = 7) -> None:
+    """Structured synthetic 'city' scenes on disk (the r1/r2 workflow's
+    style): bright building rectangles (class 1) and dark road stripes
+    (class 2) over ground texture, per-class mask files, standard splits.
+    Visually learnable — the flagship reaches IoU ≳ 0.9 in ~10 epochs, so
+    eval-path deltas are measured on a meaningful operating point."""
+    import cv2
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    for split, count in (("training", n), ("validation", max(n // 4, 1)),
+                         ("test", max(n // 4, 1))):
+        img_dir = os.path.join(input_root, name, "images", split)
+        os.makedirs(img_dir, exist_ok=True)
+        mdirs = []
+        for c in range(3):
+            d = os.path.join(input_root, name, "annotations", split, str(c))
+            os.makedirs(d, exist_ok=True)
+            mdirs.append(d)
+        for i in range(count):
+            img = rng.integers(70, 110, (size, size, 3), np.uint8)
+            m = np.zeros((size, size, 3), np.uint8)
+            for _ in range(3):  # roads: dark stripes
+                t = int(rng.integers(size // 32, size // 16))
+                p = int(rng.integers(0, size - t))
+                sl = (slice(p, p + t), slice(None)) if rng.random() < 0.5 \
+                    else (slice(None), slice(p, p + t))
+                img[sl] = rng.integers(25, 45)
+                m[..., 2][sl] = 255
+            for _ in range(10):  # buildings: bright reddish rects (on top)
+                bh = int(rng.integers(size // 16, size // 5))
+                bw = int(rng.integers(size // 16, size // 5))
+                y0 = int(rng.integers(0, size - bh))
+                x0 = int(rng.integers(0, size - bw))
+                col = (int(rng.integers(40, 90)), int(rng.integers(40, 90)),
+                       int(rng.integers(170, 240)))  # BGR: red-ish roofs
+                img[y0 : y0 + bh, x0 : x0 + bw] = col
+                m[y0 : y0 + bh, x0 : x0 + bw, 1] = 255
+                m[y0 : y0 + bh, x0 : x0 + bw, 2] = 0
+            m[..., 0] = 255 - np.maximum(m[..., 1], m[..., 2])  # background
+            iid = f"{split}_{i:04d}"
+            cv2.imwrite(os.path.join(img_dir, iid + ".png"), img)
+            for c in range(3):
+                cv2.imwrite(os.path.join(mdirs[c], iid + ".png"), m[..., c])
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--epochs", type=int, default=6)
-    ap.add_argument("--n", type=int, default=24, help="synthetic train scenes")
+    ap.add_argument("--epochs", type=int, default=12)
+    ap.add_argument("--n", type=int, default=48, help="city train scenes")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--root", default="/tmp/accuracy_bar")
     ap.add_argument("--skip-train", action="store_true",
@@ -38,7 +85,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ssunet_gan_tpu.config import ExperimentConfig, FilePaths
-    from ssunet_gan_tpu.data.dataset import SyntheticDataset
+    from ssunet_gan_tpu.data.dataset import SegmentationDataset, list_split_ids
     from ssunet_gan_tpu.data.transforms import val_transform
     from ssunet_gan_tpu.models import build_model
     from ssunet_gan_tpu.ops.metrics import dice_coef, iou_score
@@ -54,11 +101,11 @@ def main(argv=None):
         "name": "accuracy_bar", "arch": "UNet_R_SS_v2", "epochs": args.epochs,
         "batch_size": 8, "deep_supervision": False, "input_channels": 3,
         "num_classes": 3, "input_w": size, "input_h": size,
-        "loss": "BCEDiceLoss", "optimizer": "Adam", "lr": 1e-3,
+        "loss": "BCEDiceLoss", "optimizer": "Adam", "lr": 1e-4,
         "weight_decay": 1e-7, "momentum": 0.9, "nesterov": False,
         "scheduler": "ConstantLR", "min_lr": 1e-5, "clip": 0.7,
-        "early_stopping": -1, "num_workers": 2, "dataset": "synth",
-        "val_dataset": "synth", "img_ext": ".png", "mask_ext": ".png",
+        "early_stopping": -1, "num_workers": 2, "dataset": "city",
+        "val_dataset": "city", "img_ext": ".png", "mask_ext": ".png",
         "resume": False, "mixed_precision": "True",
     }
     cfg = ExperimentConfig(
@@ -71,9 +118,10 @@ def main(argv=None):
     )
     model_dir = os.path.join(args.root, "models", "accuracy_bar")
 
+    _make_city_dataset(args.root + "/inputs", "city", args.n, size)
     if not args.skip_train:
         set_fused_stage(False)  # train on the plain path
-        run_experiment(cfg, synthetic=args.n, use_tensorboard=False)
+        run_experiment(cfg, use_tensorboard=False)
 
     model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
     template = jax.device_get(
@@ -82,8 +130,15 @@ def main(argv=None):
     )
     variables = ckpt.load_model(model_dir, template)
 
-    val_ds = SyntheticDataset(max(args.n // 4, 1), size, size, 3, 3,
-                              transform=val_transform(opt), seed=2)
+    val_dir = os.path.join(args.root, "inputs", "city")
+    ids = list_split_ids(args.root + "/inputs", "city", "validation", ".png")
+    val_ds = SegmentationDataset(
+        img_ids=ids,
+        img_dir=os.path.join(val_dir, "images", "validation"),
+        mask_dir=os.path.join(val_dir, "annotations", "validation"),
+        img_ext=".png", mask_ext=".png", num_classes=3,
+        transform=val_transform(opt),
+    )
 
     def evaluate(label, dtype, fused, int8):
         set_fused_stage(fused)
@@ -97,8 +152,8 @@ def main(argv=None):
 
         ious, dices = [], []
         for i in range(len(val_ds)):
-            item = val_ds[i]
-            img, mask = item[1], item[3]
+            item = val_ds[i]  # (ori_img, img, mask, meta)
+            img, mask = item[1], item[2]
             x = jnp.asarray(img[None]).astype(dtype)
             y = jnp.asarray(mask[None], jnp.float32)
             logits = fwd(variables, x).astype(jnp.float32)
