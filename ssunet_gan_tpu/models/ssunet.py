@@ -258,15 +258,20 @@ class SSUNet(nn.Module):
         ss = 4  # archs.py:689
         C = self.num_classes
 
-        def stage(xin, i, bname, sname):
+        def stage(xin, i, bname, sname, out_key=None):
             return _spade_stage(xin, f[i], C, ss, bname, sname, train,
-                                block="vgg")[0]
+                                block="vgg", out_calib_key=out_key)[0]
 
-        x0_0 = stage(x, 0, "conv0_0", "SPADE0_0")
-        x1_0 = stage(max_pool_2x2(x0_0), 1, "conv1_0", "SPADE1_0")
-        x2_0 = stage(max_pool_2x2(x1_0), 2, "conv2_0", "SPADE2_0")
-        x3_0 = stage(max_pool_2x2(x2_0), 3, "conv3_0", "SPADE3_0")
-        x4_0 = stage(max_pool_2x2(x3_0), 4, "conv4_0", "SPADE4_0")
+        # encoder stages name their skip consumer as the s8-emission key
+        # (see UNetRSSv2); x4_0 feeds only the bilinear _up → stays bf16
+        x0_0 = stage(x, 0, "conv0_0", "SPADE0_0", out_key="conv0_4:0")
+        x1_0 = stage(_qpool(x0_0), 1, "conv1_0", "SPADE1_0",
+                     out_key="conv1_3:0")
+        x2_0 = stage(_qpool(x1_0), 2, "conv2_0", "SPADE2_0",
+                     out_key="conv2_2:0")
+        x3_0 = stage(_qpool(x2_0), 3, "conv3_0", "SPADE3_0",
+                     out_key="conv3_1:0")
+        x4_0 = stage(_qpool(x3_0), 4, "conv4_0", "SPADE4_0")
 
         x3_1 = stage((x3_0, _up(x4_0)), 3, "conv3_1", "SPADE3_1")
         x2_2 = stage((x2_0, _up(x3_1)), 2, "conv2_2", "SPADE2_2")
@@ -333,16 +338,23 @@ class UNetRSS(nn.Module):
         ss = 16  # archs.py:484
         C = self.num_classes
 
-        def stage(xin, feat, bname, sname):
-            return _basic_spade_stage(xin, feat, C, ss, bname, sname, train)[0]
+        def stage(xin, feat, bname, sname, out_key=None):
+            return _basic_spade_stage(xin, feat, C, ss, bname, sname, train,
+                                      out_calib_key=out_key)[0]
 
-        x0_0 = stage(x, f[0], "conv0_0", "SPADE0_0")
-        x1_0 = stage(max_pool_2x2(x0_0), f[1], "conv1_0", "SPADE1_0")
-        x2_0 = stage(max_pool_2x2(x1_0), f[2], "conv2_0", "SPADE2_0")
-        x3_0 = stage(max_pool_2x2(x2_0), f[3], "conv3_0", "SPADE3_0")
-        x4_0 = stage(max_pool_2x2(x3_0), f[4], "conv4_0", "SPADE4_0")
+        # encoder stages name their skip consumer as the s8-emission key
+        # (see UNetRSSv2); x5_0 feeds only the bilinear _up → stays bf16
+        x0_0 = stage(x, f[0], "conv0_0", "SPADE0_0", out_key="conv0_4:0")
+        x1_0 = stage(_qpool(x0_0), f[1], "conv1_0", "SPADE1_0",
+                     out_key="conv1_3:0")
+        x2_0 = stage(_qpool(x1_0), f[2], "conv2_0", "SPADE2_0",
+                     out_key="conv2_2:0")
+        x3_0 = stage(_qpool(x2_0), f[3], "conv3_0", "SPADE3_0",
+                     out_key="conv3_1:0")
+        x4_0 = stage(_qpool(x3_0), f[4], "conv4_0", "SPADE4_0",
+                     out_key="conv4_1:0")
 
-        x5_0 = stage(max_pool_2x2(x4_0), f[5], "conv5_0", "SPADE5_0")
+        x5_0 = stage(_qpool(x4_0), f[5], "conv5_0", "SPADE5_0")
         x4_1 = stage((x4_0, _up(x5_0)), f[4], "conv4_1", "SPADE4_1")
         x3_1 = stage((x3_0, _up(x4_1)), f[3], "conv3_1", "SPADE3_1")
         x2_2 = stage((x2_0, _up(x3_1)), f[2], "conv2_2", "SPADE2_2")

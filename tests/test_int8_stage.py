@@ -197,6 +197,30 @@ def test_record_and_calibrate_flagship(rng, tmp_path):
     assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
 
 
+@pytest.mark.parametrize("arch", ["SSUNet", "UNet_R_SS"])
+def test_calibrated_int8_other_ss_archs(rng, arch):
+    """The s8-emission keys added to SSUNet/UNet_R_SS must keep the
+    calibrated int8 forward tracking f32 (exercises the QTensor flow
+    through the VGG and 6-level BasicBlock pyramids)."""
+    from ssunet_gan_tpu.infer.calibrate import calibrate_int8
+
+    x = np.asarray(rng.normal(size=(2, 32, 32, 3)), np.float32)
+    model = build_model(arch, num_classes=3, input_channels=3)
+    set_fused_stage(False)
+    variables = jit_init(model, jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    want = np.asarray(model.apply(variables, jnp.asarray(x), False))
+
+    calibrate_int8(model, variables, x, batch_size=2)
+    set_fused_stage(True)
+    set_int8_stage(True)
+    got = np.asarray(model.apply(variables, jnp.asarray(x), False))
+    assert np.isfinite(got).all()
+    pw = 1.0 / (1.0 + np.exp(-want))
+    pg = 1.0 / (1.0 + np.exp(-got))
+    assert np.mean((pw > 0.5) == (pg > 0.5)) > 0.98
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
+
+
 def test_int8_dispatch_respects_flag(rng):
     """int8 OFF must leave the bf16 fused path bit-identical."""
     from ssunet_gan_tpu.ops import stage_kernel_int8
