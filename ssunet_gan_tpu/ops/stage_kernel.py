@@ -131,18 +131,41 @@ def _unpack_lanes(ov: jax.Array, f: int) -> jax.Array:
 # VMEM gate tiers. The byte-sum heuristic over-counts ~2× vs the compiler's
 # scheduled liveness, so three tiers replace a single folklore bound:
 #   est < _TRUST_BYTES   — the measured region (every flagship stage incl.
-#                          f32 sums to ≤ 23.2 MB and compiles + runs): accept.
+#                          f32 sums to ≤ 23.2 MB at th=8 and compiles + runs;
+#                          the th=16/32 bands below re-measured it): accept.
 #   est < _REJECT_BYTES  — uncertain: PROBE-compile the kernel once for this
 #                          shape signature (cached); a Mosaic failure means a
 #                          clean fallback to the XLA composition, not a crash.
 #   otherwise            — reject without probing (a doomed Mosaic compile is
 #                          itself a remote-compiler crash risk).
-_TRUST_BYTES = 24 * 1024 * 1024
+#
+# Threshold calibration (r3, measured): every flagship stage at th=32 sums
+# to ≤ 42.4 MB and compiles + runs in both bf16 and int8; at th=64 the
+# estimate (80 MB) matched Mosaic's actual stack OOM report (78.1 MB), i.e.
+# the ~2× overcount of the th=8 era shrinks toward 1× at tall bands — so
+# est < 44 MB ⇒ real ≲ 45 MB, comfortably under the 64 MB scoped cap.
+_TRUST_BYTES = 44 * 1024 * 1024
 _REJECT_BYTES = int(2.5 * _VMEM_LIMIT)
 
+# Band heights tried largest-first: taller bands amortize the rolling-halo
+# redundancy (at th the kernel computes th+8 conv1 rows per th output rows —
+# 2.0× excess MXU work at th=8, 1.25× at th=32) against a linearly larger
+# VMEM working set. Measured on the flagship b=32 @512² (r3 sweep):
+# bf16-fused 170.3 / 195.2 / 207.7 tiles/s and int8-calibrated 250.3 /
+# 285.7 / 295.6 at th = 8 / 16 / 32; th=64 exceeds the 64 MB scoped-VMEM
+# cap (Mosaic stack OOM at 78 MB). ``set_band_rows`` forces one height
+# (perf sweeps).
+_TH_CANDIDATES = (32, 16, 8)
+_BAND_ROWS: Optional[int] = None
 
-def _vmem_estimate(h: int, w: int, c: int, part_ch, itemsize: int) -> int:
-    th = 8
+
+def set_band_rows(th: Optional[int]) -> None:
+    global _BAND_ROWS
+    _BAND_ROWS = th
+
+
+def _vmem_estimate(h: int, w: int, c: int, part_ch, itemsize: int,
+                   th: int = 8) -> int:
     # per part: rolling scratch + double-buffered cur block + xh slab
     parts_b = sum(
         ((th + 5) + 2 * th + (th + 10)) * cp * w * itemsize for cp in part_ch
@@ -154,14 +177,23 @@ def _vmem_estimate(h: int, w: int, c: int, part_ch, itemsize: int) -> int:
 
 
 def _pick_th(h: int, w: int, c: int, part_ch, itemsize: int = 2) -> Optional[int]:
-    """The band height is fixed at 8 (the rolling-halo lookahead needs
-    th ≥ 5 rows from exactly one future block); this only checks that the
-    working set is not hopeless for the activation dtype (the probe tier
-    handles the uncertain band — see the tier constants above)."""
-    th = 8
-    if h % th:
-        return None
-    return th if _vmem_estimate(h, w, c, part_ch, itemsize) < _REJECT_BYTES else None
+    """Pick the band height: the largest candidate dividing ``h`` whose
+    estimated working set clears the trust threshold, else the smallest
+    feasible one (whose fate the probe tier decides). The rolling-halo
+    lookahead needs th ≥ 5 rows from exactly one future block, so every
+    candidate is ≥ 8."""
+    if _BAND_ROWS is not None:
+        return _BAND_ROWS if h % _BAND_ROWS == 0 else None
+    feasible = None
+    for th in _TH_CANDIDATES:
+        if h % th:
+            continue
+        est = _vmem_estimate(h, w, c, part_ch, itemsize, th)
+        if est < _TRUST_BYTES:
+            return th  # largest trusted candidate
+        if est < _REJECT_BYTES:
+            feasible = th  # smallest feasible → best odds at the probe tier
+    return feasible
 
 
 def fused_stage_supported(
@@ -220,20 +252,27 @@ def fused_stage_probe_ok(
     f = _pack_factor(parts[0].shape[0], w) if pack else 1
     wp = w * f
     sub_w = w if f > 1 else 0
+    th = _pick_th(h, wp, planes, part_ch, dtype.itemsize)
+    if th is None:
+        return False
     if (
         planes <= 256
-        and _vmem_estimate(h, wp, planes, part_ch, dtype.itemsize) < _TRUST_BYTES
+        and _vmem_estimate(h, wp, planes, part_ch, dtype.itemsize, th)
+        < _TRUST_BYTES
     ):
         return True
-    key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out, dtype.name)
+    key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out,
+           dtype.name, th)
     if key not in _PROBE_CACHE:
         _PROBE_CACHE[key] = _probe_compile(
-            h, wp, part_ch, planes, label_nc, nhidden, num_out, dtype, sub_w
+            h, wp, part_ch, planes, label_nc, nhidden, num_out, dtype, sub_w,
+            th=th,
         )
     return _PROBE_CACHE[key]
 
 
-def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0) -> bool:
+def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
+                   th=8) -> bool:
     if _interpret():
         return True  # no Mosaic/VMEM on the interpreter path
     s = jax.ShapeDtypeStruct
@@ -257,7 +296,7 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0) -> bool:
         pv = list(arrs[: len(part_ch)])
         k1, k2sc, k1s, k2s, k3s = arrs[len(part_ch) : len(part_ch) + 5]
         kf = arrs[len(part_ch) + 5] if num_out is not None else None
-        return _stage_call(pv, k1, k2sc, k1s, k2s, k3s, 8, KF=kf, sub_w=sub_w,
+        return _stage_call(pv, k1, k2sc, k1s, k2s, k3s, th, KF=kf, sub_w=sub_w,
                            vmem_limit=_VMEM_LIMIT - _PROBE_MARGIN)
 
     try:

@@ -47,6 +47,7 @@ from ssunet_gan_tpu.ops.stage_kernel import (
     _VMEM_LIMIT,
     _pack_factor,
     _pack_lanes,
+    _pick_th,
     _unpack_lanes,
 )
 
@@ -576,8 +577,15 @@ def fused_eval_stage_int8(
     sub_w = parts_q[0].shape[-1] if f > 1 else 0
     if f > 1:
         parts_q = [_pack_lanes(q, f) for q in parts_q]
+    # band height from the same gate the dispatch used (dtype = the LOGICAL
+    # activation dtype — conservative for the s8 operands)
+    th = _pick_th(
+        parts_q[0].shape[1], parts_q[0].shape[-1], c,
+        [p.shape[-1] for p in parts], jnp.dtype(dtype).itemsize,
+    )
+    assert th is not None, "caller must gate with fused_stage_supported"
     outv = _stage_call_int8(
-        parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, 8, dtype, KF=KF,
+        parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th, dtype, KF=KF,
         sub_w=sub_w, out_inv_scale=out_inv,
     )
     if f > 1:

@@ -157,7 +157,7 @@ def test_probe_gate_falls_back_cleanly(rng, monkeypatch):
 
     calls = []
 
-    def failing_probe(*args):
+    def failing_probe(*args, **kwargs):
         calls.append(args)
         return False
 
@@ -185,7 +185,7 @@ def test_probe_verdicts_are_cached(rng, monkeypatch):
     calls = []
     monkeypatch.setattr(stage_kernel, "_TRUST_BYTES", 0)
     monkeypatch.setattr(
-        stage_kernel, "_probe_compile", lambda *a: calls.append(a) or True
+        stage_kernel, "_probe_compile", lambda *a, **k: calls.append(a) or True
     )
     monkeypatch.setattr(stage_kernel, "_PROBE_CACHE", {})
 
