@@ -163,6 +163,24 @@ def patch_and_preprocess(img_input: np.ndarray, mask_input: np.ndarray, config: 
     coords = grid_coords(
         img_input.shape[0], img_input.shape[1], p_size, config["patch_overlap"]
     )
+    if raw_uint8:
+        # native fast path: the C++ tile server fuses crop+resize in one
+        # pass over the raster (no (N, p, p, 3) intermediate; tileserver.cpp
+        # matches cv2's INTER_LINEAR fixed-point math, parity-pinned in
+        # tests/test_native.py)
+        from ssunet_gan_tpu import native
+
+        tiles = native.extract_resize_u8(
+            np.ascontiguousarray(img_input), coords, p_size,
+            config["input_h"], config["input_w"],
+        )
+        if tiles is not None:
+            masks = native.extract_u8(
+                np.ascontiguousarray(mask_input), coords, p_size
+            )
+            if masks is None:
+                masks = extract_patches(mask_input, coords, p_size)
+            return tiles, masks
     image_patches = extract_patches(img_input, coords, p_size)
     mask_patches = extract_patches(mask_input, coords, p_size)
 
@@ -376,9 +394,17 @@ def pipelined_scene_forward(model, variables, scene: np.ndarray, config: Dict,
     n = len(coords)
     n_pad = max((n + chunk - 1) // chunk, 1) * chunk
 
+    from ssunet_gan_tpu import native
+
+    scene_c = np.ascontiguousarray(scene)
+
     def prep_chunk(i0: int) -> np.ndarray:
         out = np.zeros((chunk, in_h, in_w, 3), np.uint8)
-        for j in range(min(chunk, n - i0)):
+        m = min(chunk, n - i0)
+        if native.extract_resize_u8(scene_c, coords[i0 : i0 + m], p_size,
+                                    in_h, in_w, out=out[:m]) is not None:
+            return out
+        for j in range(m):
             y, x = coords[i0 + j]
             out[j] = cv2.resize(scene[y : y + p_size, x : x + p_size],
                                 (in_w, in_h))
