@@ -155,20 +155,21 @@ def _shift_w(v: jax.Array, dx: int, sub_w: int = 0) -> jax.Array:
     return out
 
 
-def _dotb(k2d: jax.Array, slab: jax.Array) -> jax.Array:
+def _dotb(k2d: jax.Array, slab: jax.Array, post=None) -> jax.Array:
     """(M, K) @ (T, K, W) → (T, M, W), f32 accumulation on the MXU.
 
     Unrolled per-T 2D dots with the SHARED lhs — a batched dot_general would
     broadcast-materialize T copies of the weight in VMEM (9.5 MB for the
-    C=512 level), which blows the scoped-VMEM budget.
+    C=512 level), which blows the scoped-VMEM budget.  ``post`` applies a
+    per-row epilogue before stacking (see :func:`_conv3_rows`).
     """
-    outs = [
-        jax.lax.dot_general(
+    outs = []
+    for t in range(slab.shape[0]):
+        acc = jax.lax.dot_general(
             k2d, slab[t], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        for t in range(slab.shape[0])
-    ]
+        outs.append(post(acc) if post is not None else acc)
     return jnp.stack(outs, axis=0)
 
 
@@ -195,7 +196,7 @@ def _zero_outside_image(v: jax.Array, row0, h_img: int) -> jax.Array:
     )
 
 
-def _conv3_rows(slabs, kp, t_out: int, dtype, sub_w: int = 0):
+def _conv3_rows(slabs, kp, t_out: int, dtype, sub_w: int = 0, post=None):
     """3×3 conv (pad-1 in W, valid in H) over W-minor slabs via per-row
     packed-tap dots: for each output row, the 9 shifted taps of every input
     slab plus a ones-row (bias) concatenate on the contraction axis and hit
@@ -206,7 +207,14 @@ def _conv3_rows(slabs, kp, t_out: int, dtype, sub_w: int = 0):
     ``kp``: (Cout, Σ9·Cp [+extras..+1]) packed kernel, parts-major tap-major
     columns, bias LAST. ``extra`` rows (e.g. a fused 1×1-shortcut input) can
     be appended by the caller before the ones-row via ``extra_rows``.
-    Returns (t_out, Cout, W) in f32.
+    Returns (t_out, Cout, W) in f32, or in ``post``'s output dtype when a
+    per-row epilogue is given.
+
+    ``post`` (row f32 -> row) is applied to each row BEFORE stacking: the
+    f32 dot results then never materialize as a full slab, which at tall
+    bands halves the kernel's scoped-VMEM high-water (Mosaic tracks value
+    liveness; a stacked f32 slab of th+8 rows is the single largest live
+    value in the stage kernels).
     """
     w = slabs[0].shape[-1]
     ones_row = jnp.ones((1, w), dtype)
@@ -220,7 +228,8 @@ def _conv3_rows(slabs, kp, t_out: int, dtype, sub_w: int = 0):
                     taps.append(_shift_w(r, dx, sub_w))
         taps.append(ones_row)
         x9 = jnp.concatenate(taps, axis=0)
-        rows.append(jnp.dot(kp, x9, preferred_element_type=jnp.float32))
+        acc = jnp.dot(kp, x9, preferred_element_type=jnp.float32)
+        rows.append(post(acc) if post is not None else acc)
     return jnp.stack(rows, axis=0)
 
 
@@ -239,13 +248,15 @@ def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype, sub_w: int = 0):
     c, w = xh.shape[1], xh.shape[2]
 
     # x2map: per-row packed-tap dot, contraction 9·C+1.
-    seg = _conv3_rows([xh], k1_ref[:], th + 4, dtype, sub_w).astype(dtype)
+    seg = _conv3_rows([xh], k1_ref[:], th + 4, dtype, sub_w,
+                      post=lambda r: r.astype(dtype))
     seg = _zero_outside_image(seg, row0 + 1, h_img)
 
     # mlp_shared: packed 9·label(+bias) contraction + ReLU.
     s9 = _tap_cat(seg, th + 2, sub_w)  # (TH+2, 9·lab, W)
     s9 = jnp.concatenate([s9, jnp.ones((th + 2, 1, w), dtype)], axis=1)
-    actv = jax.nn.relu(_dotb(k2_ref[:], s9)).astype(dtype)  # (TH+2, nh, W)
+    actv = _dotb(k2_ref[:], s9,
+                 post=lambda r: jax.nn.relu(r).astype(dtype))  # (TH+2, nh, W)
     actv = _zero_outside_image(actv, row0 + 2, h_img)
 
     # gamma|beta: packed 9·nh(+bias) contraction; modulate on the VPU.
@@ -253,7 +264,7 @@ def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype, sub_w: int = 0):
     a9 = jnp.concatenate([a9, jnp.ones((th, 1, w), dtype)], axis=1)
     # modulate in the activation dtype (the XLA path's bf16 semantics; f32
     # in f32 mode) — f32 intermediates here would double VMEM pressure
-    gb = _dotb(k3_ref[:], a9).astype(dtype)  # (TH, 2C, W)
+    gb = _dotb(k3_ref[:], a9, post=lambda r: r.astype(dtype))  # (TH, 2C, W)
     xc = xh[3 : 3 + th]
     return (xc * (jnp.ones((), dtype) + gb[:, :c]) + gb[:, c:]).astype(dtype)
 

@@ -344,10 +344,11 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
                 )  # (th+10, Cp, W)
 
             # h1 = relu(bn1-folded conv1 over all parts): one deep-K packed
-            # dot per output row (contraction 9·ΣCp + 1)
-            h1 = jax.nn.relu(
-                _conv3_rows(xh_parts, k1_ref[:], th + 8, dtype, sub_w)
-            ).astype(dtype)
+            # dot per output row (contraction 9·ΣCp + 1); the per-row relu+
+            # downcast keeps the f32 accumulators out of the live set (the
+            # tall-band VMEM high-water, see _conv3_rows)
+            h1 = _conv3_rows(xh_parts, k1_ref[:], th + 8, dtype, sub_w,
+                             post=lambda r: jax.nn.relu(r).astype(dtype))
             h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
 
             # conv2 + 1×1 shortcut + bn2 bias fused into ONE per-row dot:
@@ -364,10 +365,10 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
                     taps.append(xh_parts[p][t + 2])
                 taps.append(ones_row)
                 x9 = jnp.concatenate(taps, axis=0)  # (9C + ΣCp + 1, W)
-                y_rows.append(
-                    jnp.dot(k2sc_ref[:], x9, preferred_element_type=jnp.float32)
-                )
-            y = jax.nn.relu(jnp.stack(y_rows, axis=0)).astype(dtype)
+                acc = jnp.dot(k2sc_ref[:], x9,
+                              preferred_element_type=jnp.float32)
+                y_rows.append(jax.nn.relu(acc).astype(dtype))
+            y = jnp.stack(y_rows, axis=0)
             y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
 
             out = _spade_tail(
@@ -381,10 +382,10 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
                 fin_rows = []
                 for t in range(th):
                     xr = jnp.concatenate([out[t], ones_row], axis=0)
-                    fin_rows.append(
-                        jnp.dot(kf_ref[:], xr, preferred_element_type=jnp.float32)
-                    )
-                o_ref[:] = jnp.stack(fin_rows, axis=0).astype(dtype)
+                    acc = jnp.dot(kf_ref[:], xr,
+                                  preferred_element_type=jnp.float32)
+                    fin_rows.append(acc.astype(dtype))
+                o_ref[:] = jnp.stack(fin_rows, axis=0)
 
         # roll the scratch: keep the last th+5 rows of (scratch ∪ cur)
         for p in range(n_parts):
@@ -581,24 +582,22 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
             ]
             ones_row = jnp.ones((1, w), dtype)
 
-            # conv1 (1×1) + bn1 + relu, per-row dot over [x parts | 1]
+            # conv1 (1×1) + bn1 + relu, per-row dot over [x parts | 1];
+            # per-row relu+downcast keeps f32 accumulators off the live set
             h1_rows = []
             for t in range(th + 2 * L):
                 xr = jnp.concatenate(
                     [xh_parts[p][t] for p in range(n_parts)] + [ones_row], axis=0
                 )
-                h1_rows.append(
-                    jax.nn.relu(
-                        jnp.dot(k1b_ref[:], xr, preferred_element_type=jnp.float32)
-                    )
-                )
-            h1 = jnp.stack(h1_rows, axis=0).astype(dtype)
+                acc = jnp.dot(k1b_ref[:], xr,
+                              preferred_element_type=jnp.float32)
+                h1_rows.append(jax.nn.relu(acc).astype(dtype))
+            h1 = jnp.stack(h1_rows, axis=0)
             h1 = _zero_outside_image(h1, g0, h_img)  # (th+8, C, W)
 
             # conv2 (3×3) + bn2 + relu
-            h2 = jax.nn.relu(
-                _conv3_rows([h1], k2b_ref[:], th + 6, dtype, sub_w)
-            ).astype(dtype)
+            h2 = _conv3_rows([h1], k2b_ref[:], th + 6, dtype, sub_w,
+                             post=lambda r: jax.nn.relu(r).astype(dtype))
             h2 = _zero_outside_image(h2, g0 + 1, h_img)  # (th+6, C, W)
 
             # conv3 (1×1) + bn3 + shortcut(+bn / identity) + relu: one dot
@@ -612,10 +611,10 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                     + [ones_row],
                     axis=0,
                 )
-                y_rows.append(
-                    jnp.dot(k3sc_ref[:], xr, preferred_element_type=jnp.float32)
-                )
-            y = jax.nn.relu(jnp.stack(y_rows, axis=0)).astype(dtype)
+                acc = jnp.dot(k3sc_ref[:], xr,
+                              preferred_element_type=jnp.float32)
+                y_rows.append(jax.nn.relu(acc).astype(dtype))
+            y = jnp.stack(y_rows, axis=0)
             y = _zero_outside_image(y, g0 + 1, h_img)
 
             out = _spade_tail(
@@ -627,10 +626,10 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                 fin_rows = []
                 for t in range(th):
                     xr = jnp.concatenate([out[t], ones_row], axis=0)
-                    fin_rows.append(
-                        jnp.dot(kf_ref[:], xr, preferred_element_type=jnp.float32)
-                    )
-                o_ref[:] = jnp.stack(fin_rows, axis=0).astype(dtype)
+                    acc = jnp.dot(kf_ref[:], xr,
+                                  preferred_element_type=jnp.float32)
+                    fin_rows.append(acc.astype(dtype))
+                o_ref[:] = jnp.stack(fin_rows, axis=0)
 
         for p in range(n_parts):
             tail = scratch[p][th:]

@@ -178,10 +178,25 @@ def _quant_rows(w: jax.Array):
 
 
 def _quant_band(h: jax.Array):
-    """Per-band dynamic int8 quantization of a VMEM slab (in-kernel)."""
-    m = jnp.max(jnp.abs(h.astype(jnp.float32)))
+    """Per-band dynamic int8 quantization of a VMEM slab (in-kernel).
+
+    Row-at-a-time: the slab stays in its storage dtype and only one (C, W)
+    f32 row is ever live (a full f32 copy of a tall band would be the
+    kernel's largest value — bf16→f32 is exact, so the per-row max and
+    quantized values are identical to the whole-slab form)."""
+    t = h.shape[0]
+    m = jnp.max(jnp.abs(h[0]).astype(jnp.float32))
+    for r in range(1, t):
+        m = jnp.maximum(m, jnp.max(jnp.abs(h[r]).astype(jnp.float32)))
     s = jnp.maximum(m / 127.0, 1e-12)
-    q = jnp.clip(jnp.round(h.astype(jnp.float32) / s), -127, 127).astype(jnp.int8)
+    q = jnp.stack(
+        [
+            jnp.clip(jnp.round(h[r].astype(jnp.float32) / s), -127, 127)
+            .astype(jnp.int8)
+            for r in range(t)
+        ],
+        axis=0,
+    )
     return q, s
 
 
@@ -340,8 +355,9 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                 )
                 h1_rows.append(
                     jax.nn.relu(_rowscale(acc.astype(jnp.float32), d1) + t1)
+                    .astype(dtype)  # per-row downcast: no live f32 slab
                 )
-            h1 = jnp.stack(h1_rows, axis=0).astype(dtype)
+            h1 = jnp.stack(h1_rows, axis=0)
             h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
 
             # per-band requantization of h1 (slab-local scale, see module doc)
@@ -373,19 +389,27 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                         _rowscale(acc2.astype(jnp.float32), d2)
                         + _rowscale(accs.astype(jnp.float32), ds)
                         + t2
-                    )
+                    ).astype(dtype)
                 )
-            y = jnp.stack(y_rows, axis=0).astype(dtype)
+            y = jnp.stack(y_rows, axis=0)
             y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
 
             out = _spade_tail(
                 y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w
             )
             if out_inv_scale is not None:
-                o_ref[:] = jnp.clip(
-                    jnp.round(out.astype(jnp.float32) * out_inv_scale),
-                    -127, 127,
-                ).astype(jnp.int8)
+                o_ref[:] = jnp.stack(
+                    [
+                        jnp.clip(
+                            jnp.round(
+                                out[t].astype(jnp.float32) * out_inv_scale
+                            ),
+                            -127, 127,
+                        ).astype(jnp.int8)
+                        for t in range(out.shape[0])
+                    ],
+                    axis=0,
+                )
             elif not has_final:
                 o_ref[:] = out
             else:
