@@ -233,9 +233,89 @@ def _conv3_rows(slabs, kp, t_out: int, dtype, sub_w: int = 0, post=None):
     return jnp.stack(rows, axis=0)
 
 
-def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype, sub_w: int = 0):
+# ---------------------------------------------------------------------------
+# Stacked seg-conv dots. The x2map conv emits ``label`` (= num_classes,
+# typically 3) channels, so its per-row (lab, 9C+1) @ (9C+1, W) dot occupies
+# 3/128 of the MXU's M rows while paying the SAME ceil(K/128) tile passes as
+# the C-wide conv2 — ~25-30% of the stage kernel's MXU passes for ~3% of its
+# FLOPs. Stacking r output rows per dot with a block-diagonal weight
+# (M = r·8, lab padded to the 8-sublane granule Mosaic needs for the
+# (t, 8, W) reshape) turns (th+4)·ceil(9C/128) passes into
+# (th+4)/r · ceil(3(r+2)C/128) — ~3× fewer. Opt-in per call site via a
+# stacked K1s packing (``pack_seg_stacked``) + ``seg_r``/``seg_lab`` args;
+# the rhs is 3 dx-shifts of the whole (r+2)-row window (LESS tap-assembly
+# VPU work than 9 shifts per row). Zero weight blocks contribute exact
+# zeros, so the math is the per-row dot's up to f32 accumulation order.
+# ---------------------------------------------------------------------------
+
+_SEG_PAD = 8  # sublanes per stacked output row (Mosaic tile granule)
+
+
+def pick_seg_r(t_out: int, rhs_bytes_per_row: int = 0) -> int:
+    """Largest divisor r of ``t_out`` with r·8 MXU rows ≤ 128; 0 when
+    stacking is pointless (r would be 1)."""
+    best = 1
+    for r in range(2, t_out + 1):
+        if t_out % r == 0 and r * _SEG_PAD <= 128:
+            best = r
+    return best if best > 1 else 0
+
+
+def pack_seg_stacked(k1s: jax.Array, b1s: jax.Array, r: int,
+                     dtype) -> jax.Array:
+    """Stacked block-diagonal x2map weight.
+
+    ``k1s``: HWIO (3, 3, C, lab); ``b1s``: (lab,).  Returns
+    (r·8, 3·(r+2)·C + 1): output row j's (dy, dx) taps sit at column block
+    (dx-major, window row j+dy), matching the kernel's rhs =
+    [dx 0..2 × window rows 0..r+1 of the slab | ones]; rows lab..7 of each
+    group are zero (padding), the bias rides the last column."""
+    c, lab = k1s.shape[2], k1s.shape[3]
+    m = r + 2
+    w = jnp.zeros((r, _SEG_PAD, 3, m, c), k1s.dtype)
+    for j in range(r):
+        for dy in range(3):
+            for dx in range(3):
+                w = w.at[j, :lab, dx, j + dy, :].set(k1s[dy, dx].T)
+    lhs = w.reshape(r * _SEG_PAD, 3 * m * c)
+    bias = (
+        jnp.zeros((r, _SEG_PAD), k1s.dtype)
+        .at[:, :lab].set(jnp.broadcast_to(b1s, (r, lab)))
+        .reshape(r * _SEG_PAD, 1)
+    )
+    return jnp.concatenate([lhs, bias], axis=1).astype(dtype)
+
+
+def _seg_rows_stacked(xh, k1_ref, t_out: int, r: int, lab: int, dtype,
+                      sub_w: int):
+    """x2map over ``xh`` ((t_out+2, C, W) slab) with stacked dots; returns
+    (t_out, lab, W) in ``dtype``."""
+    w = xh.shape[-1]
+    groups = []
+    for g in range(t_out // r):
+        t0 = g * r
+        blocks = [
+            _shift_w(xh[t0 + mrow], dx, sub_w)
+            for dx in range(3)
+            for mrow in range(r + 2)
+        ]
+        blocks.append(jnp.ones((1, w), dtype))
+        rhs = jnp.concatenate(blocks, axis=0)  # (3(r+2)C + 1, W)
+        acc = jnp.dot(k1_ref[:], rhs, preferred_element_type=jnp.float32)
+        groups.append(acc.astype(dtype))  # (r·8, W)
+    seg8 = (groups[0] if len(groups) == 1
+            else jnp.concatenate(groups, axis=0))
+    return seg8.reshape(t_out, _SEG_PAD, w)[:, :lab]
+
+
+def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype, sub_w: int = 0,
+                seg_r: int = 0, seg_lab: int = 0):
     """Self-SPADE on a W-minor slab ``xh`` of TH+6 rows (3 halo rings each
     side, already zeroed outside the image); returns the TH modulated rows.
+
+    ``seg_r`` > 0 switches the x2map conv to stacked dots: ``k1_ref`` must
+    then hold the ``pack_seg_stacked`` packing and ``seg_lab`` the label
+    count (the per-row packing infers it from the weight's row count).
 
     ``row0`` is the global image row of xh row 0 (for zeroing conv-chain
     intermediates outside [0, h_img) — each conv zero-pads its OWN input).
@@ -247,9 +327,14 @@ def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype, sub_w: int = 0):
     th = xh.shape[0] - 6
     c, w = xh.shape[1], xh.shape[2]
 
-    # x2map: per-row packed-tap dot, contraction 9·C+1.
-    seg = _conv3_rows([xh], k1_ref[:], th + 4, dtype, sub_w,
-                      post=lambda r: r.astype(dtype))
+    # x2map: per-row packed-tap dot (contraction 9·C+1), or stacked
+    # block-diagonal dots (see pack_seg_stacked) when seg_r is set.
+    if seg_r:
+        seg = _seg_rows_stacked(xh, k1_ref, th + 4, seg_r, seg_lab, dtype,
+                                sub_w)
+    else:
+        seg = _conv3_rows([xh], k1_ref[:], th + 4, dtype, sub_w,
+                          post=lambda r: r.astype(dtype))
     seg = _zero_outside_image(seg, row0 + 1, h_img)
 
     # mlp_shared: packed 9·label(+bias) contraction + ReLU.

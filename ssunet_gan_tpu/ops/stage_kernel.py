@@ -45,6 +45,8 @@ from ssunet_gan_tpu.ops.spade_kernel import (
     _shift_w,
     _spade_tail,
     _zero_outside_image,
+    pack_seg_stacked,
+    pick_seg_r,
 )
 
 # ---------------------------------------------------------------------------
@@ -94,6 +96,22 @@ _PACK_W = 128
 # Default therefore stays at the shallow-only gate; deeper packing remains a
 # working opt-in (set_pack_max_planes) with the kernels parity-tested.
 _PACK_MAX_PLANES = 256
+
+
+# Stacked seg-conv dots (see spade_kernel.pack_seg_stacked): the x2map
+# conv's M=num_classes per-row dots pay conv2-grade tile passes for ~3% of
+# the FLOPs; stacking r rows per dot cuts them ~3×. OFF until measured on
+# hardware (candidate; flip after a BASELINE.md entry).
+_SEG_STACK = False
+
+
+def set_seg_stack(enabled: bool) -> None:
+    global _SEG_STACK
+    _SEG_STACK = bool(enabled)
+
+
+def seg_stack_enabled() -> bool:
+    return _SEG_STACK
 
 
 def set_pack_max_planes(planes: int) -> None:
@@ -262,7 +280,7 @@ def fused_stage_probe_ok(
     ):
         return True
     key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out,
-           dtype.name, th)
+           dtype.name, th, seg_stack_enabled())
     if key not in _PROBE_CACHE:
         _PROBE_CACHE[key] = _probe_compile(
             h, wp, part_ch, planes, label_nc, nhidden, num_out, dtype, sub_w,
@@ -280,12 +298,16 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
     # batch 2, not 1: a multi-image grid forces the same cross-block
     # double-buffering schedule the real model call gets (r3: an n=1 probe
     # under-scheduled and passed where the in-model kernel OOMed)
+    seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
+    k1s_shape = (
+        (seg_r * 8, 3 * (seg_r + 2) * c + 1) if seg_r else (lab, 9 * c + 1)
+    )
     args = (
         [s((2, h, cp, w), dtype) for cp in part_ch]
         + [
             s((c, 9 * csum + 1), dtype),       # K1cat
             s((c, 9 * c + csum + 1), dtype),   # K2SC
-            s((lab, 9 * c + 1), dtype),        # K1s
+            s(k1s_shape, dtype),               # K1s (per-row or seg-stacked)
             s((nh, 9 * lab + 1), dtype),       # K2s
             s((2 * c, 9 * nh + 1), dtype),     # K3s
         ]
@@ -297,7 +319,8 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
         k1, k2sc, k1s, k2s, k3s = arrs[len(part_ch) : len(part_ch) + 5]
         kf = arrs[len(part_ch) + 5] if num_out is not None else None
         return _stage_call(pv, k1, k2sc, k1s, k2s, k3s, th, KF=kf, sub_w=sub_w,
-                           vmem_limit=_VMEM_LIMIT - _PROBE_MARGIN)
+                           vmem_limit=_VMEM_LIMIT - _PROBE_MARGIN,
+                           seg_r=seg_r, seg_lab=lab)
 
     try:
         jax.jit(fn).lower(*args).compile()
@@ -319,7 +342,8 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
 
 
 def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
-                 has_final: bool, sub_w: int = 0):
+                 has_final: bool, sub_w: int = 0, seg_r: int = 0,
+                 seg_lab: int = 0):
     def kernel(*refs):
         # operand order: [xcur_p ×P] K1cat, K2SC, K1s, K2s, K3s, [KF],
         #                out, [scratch_p ×P]
@@ -372,7 +396,8 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
             y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
 
             out = _spade_tail(
-                y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w
+                y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w,
+                seg_r=seg_r, seg_lab=seg_lab,
             )
             if not has_final:
                 o_ref[:] = out
@@ -405,7 +430,8 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
 
 
 def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
-                sub_w: int = 0, vmem_limit: Optional[int] = None):
+                sub_w: int = 0, vmem_limit: Optional[int] = None,
+                seg_r: int = 0, seg_lab: int = 0):
     """parts_v: list of (N, H, Cp, W) views; returns (N, H, C_out, W)
     where C_out is the stage width, or the final head's class count when
     ``KF`` folds the model's last 1×1 conv in."""
@@ -431,7 +457,8 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
 
     weights = [K1cat, K2SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
     return pl.pallas_call(
-        _make_kernel(n_parts, th, c, w, part_ch, h, KF is not None, sub_w),
+        _make_kernel(n_parts, th, c, w, part_ch, h, KF is not None, sub_w,
+                     seg_r, seg_lab),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
@@ -538,8 +565,12 @@ def fused_eval_stage(
         parts_v = [_pack_lanes(pv, f) for pv in parts_v]
     th = _pick_th(h, w * f, c, [p.shape[-1] for p in parts], dtype.itemsize)
     assert th is not None, "caller must gate with fused_stage_supported"
+    seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
+    if seg_r:
+        K1s = pack_seg_stacked(k1s, b1s, seg_r, dtype)
     outv = _stage_call(
-        parts_v, K1cat, K2SC, K1s, K2s, K3s, th, KF=KF, sub_w=sub_w
+        parts_v, K1cat, K2SC, K1s, K2s, K3s, th, KF=KF, sub_w=sub_w,
+        seg_r=seg_r, seg_lab=lab,
     )
     if f > 1:
         outv = _unpack_lanes(outv, f)
@@ -555,7 +586,8 @@ def fused_eval_stage(
 
 
 def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
-                       h_img: int, has_final: bool, sub_w: int = 0):
+                       h_img: int, has_final: bool, sub_w: int = 0,
+                       seg_r: int = 0, seg_lab: int = 0):
     L = 4
 
     def kernel(*refs):
@@ -618,7 +650,8 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
             y = _zero_outside_image(y, g0 + 1, h_img)
 
             out = _spade_tail(
-                y, g0 + 1, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w
+                y, g0 + 1, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w,
+                seg_r=seg_r, seg_lab=seg_lab,
             )
             if not has_final:
                 o_ref[:] = out
@@ -752,10 +785,13 @@ def fused_eval_stage_bneck(
         shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM
     )
 
+    seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
+    if seg_r:
+        K1s = pack_seg_stacked(k1s, b1s, seg_r, dtype)
     weights = [K1B, K2B, K3SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
     outv = pl.pallas_call(
         _make_bneck_kernel(len(parts), th, c, w, part_ch, h, KF is not None,
-                           sub_w),
+                           sub_w, seg_r, lab),
         grid=(n, nh_grid + 1),
         in_specs=(
             [cur_spec(p) for p in range(len(parts))]

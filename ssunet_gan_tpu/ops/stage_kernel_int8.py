@@ -42,6 +42,8 @@ from ssunet_gan_tpu.ops.spade_kernel import (
     _shift_w,
     _spade_tail,
     _zero_outside_image,
+    pack_seg_stacked,
+    pick_seg_r,
 )
 from ssunet_gan_tpu.ops.stage_kernel import (
     _VMEM_LIMIT,
@@ -49,6 +51,7 @@ from ssunet_gan_tpu.ops.stage_kernel import (
     _pack_lanes,
     _pick_th,
     _unpack_lanes,
+    seg_stack_enabled,
 )
 
 # ---------------------------------------------------------------------------
@@ -306,7 +309,8 @@ def xla_int8_block(parts: Sequence[jax.Array], block_bundle: Tuple,
 
 def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                       h_img: int, has_final: bool, dtype, sub_w: int = 0,
-                      out_inv_scale: Optional[float] = None):
+                      out_inv_scale: Optional[float] = None,
+                      seg_r: int = 0, seg_lab: int = 0):
     """``out_inv_scale`` (a compile-time constant, = 127/abs_max from the
     static calibration) switches the epilogue to emit s8 directly: the
     SPADE-modulated stage output is quantized in-kernel, so the HBM write,
@@ -395,7 +399,8 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
             y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
 
             out = _spade_tail(
-                y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w
+                y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w,
+                seg_r=seg_r, seg_lab=seg_lab,
             )
             if out_inv_scale is not None:
                 o_ref[:] = jnp.stack(
@@ -441,7 +446,8 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
 
 def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
                      dtype, KF=None, sub_w: int = 0,
-                     out_inv_scale: Optional[float] = None):
+                     out_inv_scale: Optional[float] = None,
+                     seg_r: int = 0, seg_lab: int = 0):
     """parts_q: list of (N, H, Cp, W) int8 views; returns (N, H, C_out, W)
     in ``dtype`` (C_out = stage width, or classes when KF folds the head),
     or int8 when ``out_inv_scale`` is set (kernel-to-kernel int8 flow)."""
@@ -468,7 +474,7 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
     weights = [Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s] + ([] if KF is None else [KF])
     return pl.pallas_call(
         _make_kernel_int8(n_parts, th, c, w, part_ch, h, KF is not None, dtype,
-                          sub_w, out_inv_scale),
+                          sub_w, out_inv_scale, seg_r, seg_lab),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
@@ -608,9 +614,12 @@ def fused_eval_stage_int8(
         [p.shape[-1] for p in parts], jnp.dtype(dtype).itemsize,
     )
     assert th is not None, "caller must gate with fused_stage_supported"
+    seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
+    if seg_r:
+        K1s = pack_seg_stacked(k1s, b1s, seg_r, dtype)
     outv = _stage_call_int8(
         parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th, dtype, KF=KF,
-        sub_w=sub_w, out_inv_scale=out_inv,
+        sub_w=sub_w, out_inv_scale=out_inv, seg_r=seg_r, seg_lab=lab,
     )
     if f > 1:
         outv = _unpack_lanes(outv, f)

@@ -233,3 +233,28 @@ def test_int8_dispatch_respects_flag(rng):
     assert not stage_kernel_int8.int8_stage_enabled()
     b = np.asarray(model.apply(variables, x, False))
     np.testing.assert_array_equal(a, b)
+
+
+def test_int8_stage_seg_stacked_matches_per_row(rng):
+    """Seg stacking under int8: identical SPADE tail math, so the fused
+    int8 stage with the flag on must track the flag-off output closely."""
+    from ssunet_gan_tpu.ops.stage_kernel import set_seg_stack
+
+    planes, label, nh = 16, 3, 4.0
+    shapes = [(1, 16, 16, 8)]
+    block, spade, bvars, svars, parts = _init_pair(rng, planes, label,
+                                                   shapes, nh)
+    from ssunet_gan_tpu.ops.blocks import BasicBlock
+
+    in_planes = sum(s2[-1] for s2 in shapes)
+    bp = BasicBlock(block.planes, in_planes=in_planes).apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+    base = fused_eval_stage_int8(parts, bp, sp)
+    set_seg_stack(True)
+    try:
+        got = fused_eval_stage_int8(parts, bp, sp)
+    finally:
+        set_seg_stack(False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(base), rtol=2e-4, atol=2e-4
+    )

@@ -340,3 +340,65 @@ def test_int8_stage_lane_packed(rng, monkeypatch):
     scale = np.abs(want).max() + 1e-6
     rms = np.sqrt(np.mean((got - want) ** 2)) / scale
     assert rms < 0.02, f"relative RMS {rms:.4f}"
+
+
+# ---------------------------------------------------------------------------
+# Stacked seg-conv dots (spade_kernel.pack_seg_stacked): the x2map conv
+# computed r rows per block-diagonal MXU dot instead of per-row M=lab dots.
+# Same math up to f32 accumulation order — parity vs the module composition
+# with the flag on covers the packing, the rhs window assembly, and the
+# (t, 8, W) reshape/slice.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "planes,label,shapes,nh",
+    [
+        (16, 3, [(2, 16, 8, 8)], 4.0),                   # encoder, 1 part
+        (16, 3, [(1, 8, 16, 8), (1, 8, 16, 16)], 4.0),   # decoder, 2 parts
+        (32, 5, [(1, 24, 8, 16)], 2.0),                  # lab > 3, multi-band
+    ],
+)
+def test_stage_forward_parity_seg_stacked(rng, planes, label, shapes, nh):
+    from ssunet_gan_tpu.ops.stage_kernel import set_seg_stack
+
+    block, spade, bvars, svars, parts = _init_pair(rng, planes, label,
+                                                   shapes, nh)
+    want = _reference_stage(block, spade, bvars, svars, parts)
+    set_seg_stack(True)
+    try:
+        got = _fused_stage(block, spade, bvars, svars, parts,
+                           sum(s[-1] for s in shapes))
+    finally:
+        set_seg_stack(False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_bneck_stage_parity_seg_stacked(rng):
+    from ssunet_gan_tpu.ops.blocks import Bottleneck
+    from ssunet_gan_tpu.ops.stage_kernel import (
+        fused_eval_stage_bneck,
+        set_seg_stack,
+    )
+
+    planes = 16
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, planes)).astype(np.float32))
+    block = Bottleneck(planes, in_planes=planes)
+    bvars = jax.jit(lambda: block.init(jax.random.PRNGKey(3), x, True))()
+    spade = SPADE("spadebatch3x3", planes, 3, 4.0)
+    svars = jax.jit(lambda: spade.init(jax.random.PRNGKey(4), x, x))()
+
+    y = block.apply(bvars, x, False)
+    want = spade.apply(svars, y, y)
+    bp = block.apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+    set_seg_stack(True)
+    try:
+        got = fused_eval_stage_bneck((x,), bp, sp)
+    finally:
+        set_seg_stack(False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
