@@ -81,6 +81,16 @@ def load_segmentation_models(config_file: str):
         from ssunet_gan_tpu.ops.stage_kernel_int8 import set_int8_stage
 
         set_int8_stage(bool(config["int8"]))
+    if "seg_stack" in config:
+        from ssunet_gan_tpu.ops.stage_kernel import set_seg_stack
+
+        set_seg_stack(bool(config["seg_stack"]))
+    if "band_rows" in config:
+        from ssunet_gan_tpu.ops.stage_kernel import set_band_rows
+
+        set_band_rows(
+            int(config["band_rows"]) if config["band_rows"] else None
+        )
 
     print("=> creating model %s" % config["arch"])
     model = build_model(
@@ -267,7 +277,10 @@ def _norm_consts():
 
 def _get_forward(model, variables, mesh, normalize: bool = False):
     from ssunet_gan_tpu.ops.spade_kernel import fused_spade_mode
-    from ssunet_gan_tpu.ops.stage_kernel import fused_stage_enabled
+    from ssunet_gan_tpu.ops.stage_kernel import (
+        fused_stage_enabled,
+        seg_stack_enabled,
+    )
     from ssunet_gan_tpu.ops.stage_kernel_int8 import (
         int8_calibration,
         int8_stage_enabled,
@@ -275,7 +288,7 @@ def _get_forward(model, variables, mesh, normalize: bool = False):
 
     key = (model, mesh, id(variables), normalize, fused_spade_mode(),
            fused_stage_enabled(), int8_stage_enabled(),
-           id(int8_calibration()))
+           id(int8_calibration()), seg_stack_enabled())
     hit = _FORWARD_CACHE.get(key)
     if hit is not None:
         return hit[0], hit[1]
