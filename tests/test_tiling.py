@@ -165,6 +165,40 @@ def test_sharded_tile_inference_matches_single_device(rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_sharded_inference_fused_kernels_match_unfused(rng):
+    """The mesh path runs the forward under shard_map because the fused
+    Pallas stage kernels have no SPMD partitioning rule (r2 ADVICE): with
+    fused stages + stacked seg dots ON, the 8-device sharded flagship
+    forward must match the single-device unfused one (each device traces
+    the interpret-mode kernel on its local shard)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssunet_gan_tpu.infer.api import _chunked_forward
+    from ssunet_gan_tpu.models import build_model
+    from ssunet_gan_tpu.ops.stage_kernel import set_fused_stage, set_seg_stack
+    from ssunet_gan_tpu.parallel import make_mesh
+    from ssunet_gan_tpu.utils import jit_init
+
+    model = build_model("UNet_R_SS_v2", num_classes=2, input_channels=3)
+    x0 = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    set_fused_stage(False)
+    variables = jit_init(model, jax.random.PRNGKey(0), x0, train=False)
+    patches = rng.normal(size=(8, 32, 32, 3)).astype(np.float32)
+
+    want = _chunked_forward(model, variables, patches, False)
+    set_fused_stage(True)
+    set_seg_stack(True)
+    try:
+        got = _chunked_forward(model, variables, patches, False,
+                               mesh=make_mesh())
+    finally:
+        set_fused_stage(None)
+        set_seg_stack(False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)
+
+
 @pytest.mark.parametrize("hw,p,ov", [((64, 96), 32, 0.5), ((70, 70), 32, 0.5),
                                      ((128, 100), 32, 0.75), ((96, 96), 32, 0.5)])
 def test_grid_merge_fast_path_matches_scan(rng, hw, p, ov):
