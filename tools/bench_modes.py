@@ -25,6 +25,10 @@ def main(argv=None):
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--tile", type=int, default=512)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--seg-stack", action="store_true",
+                    help="stacked seg-conv dots in the fused kernels")
+    ap.add_argument("--band-rows", type=int, default=0,
+                    help="force the rolling-halo band height (0 = auto)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -32,12 +36,20 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ssunet_gan_tpu.models import build_model
-    from ssunet_gan_tpu.ops.stage_kernel import set_fused_stage
+    from ssunet_gan_tpu.ops.stage_kernel import (
+        set_band_rows,
+        set_fused_stage,
+        set_seg_stack,
+    )
     from ssunet_gan_tpu.ops.stage_kernel_int8 import (
         set_int8_calibration,
         set_int8_stage,
     )
     from ssunet_gan_tpu.utils import jit_init
+
+    set_seg_stack(bool(args.seg_stack))
+    if args.band_rows:
+        set_band_rows(args.band_rows)
 
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
