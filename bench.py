@@ -201,5 +201,45 @@ def bench_scene(model, variables, on_tpu):
     }
 
 
+def _watchdog_main() -> None:
+    """Run the real bench in a child with a deadline.
+
+    The axon dev tunnel can wedge for hours after any process dies mid-
+    TPU-op (CLAUDE.md); a wedged backend hangs in C++ device init where no
+    Python-level recovery is possible. The parent prints the child's JSON
+    line on success, or an honest zero-valued error line on deadline — so
+    the driver always gets one parseable line instead of a hang. Deadline
+    45 min: a healthy cold run (3 compiles + calibration over the tunnel)
+    measures ~10-15 min.
+    """
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SSUNET_GAN_TPU_BENCH_CHILD="1")
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            timeout=2700, env=env, capture_output=True, text=True,
+        )
+        out = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode == 0 and out:
+            print(out[-1])
+            return
+        detail = (proc.stderr or proc.stdout or "").strip().splitlines()
+        msg = detail[-1][:200] if detail else f"rc={proc.returncode}"
+    except subprocess.TimeoutExpired:
+        msg = "deadline exceeded (TPU backend unavailable / tunnel wedged)"
+    print(json.dumps({
+        "metric": "tiles_per_sec_512", "value": 0, "unit": "tiles/s",
+        "vs_baseline": 0.0, "error": msg,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("SSUNET_GAN_TPU_BENCH_CHILD"):
+        main()
+    else:
+        _watchdog_main()
