@@ -348,10 +348,19 @@ def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype, sub_w: int = 0,
     a9 = _tap_cat(actv, th, sub_w)  # (TH, 9·nh, W)
     a9 = jnp.concatenate([a9, jnp.ones((th, 1, w), dtype)], axis=1)
     # modulate in the activation dtype (the XLA path's bf16 semantics; f32
-    # in f32 mode) — f32 intermediates here would double VMEM pressure
-    gb = _dotb(k3_ref[:], a9, post=lambda r: r.astype(dtype))  # (TH, 2C, W)
-    xc = xh[3 : 3 + th]
-    return (xc * (jnp.ones((), dtype) + gb[:, :c]) + gb[:, c:]).astype(dtype)
+    # in f32 mode), per ROW right after its γ|β dot — a stacked (TH, 2C, W)
+    # gb slab would be the tail's largest live value at tall bands
+    one = jnp.ones((), dtype)
+    rows = []
+    for t in range(th):
+        acc = jax.lax.dot_general(
+            k3_ref[:], a9[t], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        g = acc.astype(dtype)  # (2C, W)
+        xr = xh[3 + t]
+        rows.append((xr * (one + g[:c]) + g[c:]).astype(dtype))
+    return jnp.stack(rows, axis=0)
 
 
 def _stage_kernel(xc_ref, xp_ref, xn_ref, k1_ref, k2_ref, k3_ref, o_ref):
