@@ -48,19 +48,22 @@ from ssunet_gan_tpu.ops.stage_kernel_train import (
     fused_train_stage,
 )
 from ssunet_gan_tpu.ops import blocks as blocks_mod
-from ssunet_gan_tpu.ops.pool import (
-    max_pool_2x2,
-    max_pool_2x2_with_indices,
-    max_unpool_2x2,
-)
-from ssunet_gan_tpu.ops.resize import upsample_bilinear
 from ssunet_gan_tpu.ops.spade import SPADE
+from ssunet_gan_tpu.ops.wminor import (
+    WTensor,
+    pool2x2,
+    pool2x2_with_indices,
+    to_nhwc,
+    unpool2x2,
+    upsample2x,
+)
 
 SPADE_CONTEXT = "spadebatch3x3"  # archs.py:483 (param-free norm is bypassed anyway)
 
 
-def _up(x: jax.Array) -> jax.Array:
-    return upsample_bilinear(x, 2, align_corners=True)
+def _up(x) -> jax.Array:
+    """Bilinear ×2 preserving the activation form (W-minor stays W-minor)."""
+    return upsample2x(x, align_corners=True)
 
 
 def _out_amax(key):
@@ -75,22 +78,15 @@ def _out_amax(key):
 
 
 def _dq(t):
+    """Any activation form → a plain NHWC array (composition fallback)."""
+    t = to_nhwc(t)
     return t.dequant() if isinstance(t, QTensor) else t
 
 
-def _qpool_idx(t):
-    """max_pool_2x2_with_indices through a QTensor (pooling commutes with
-    symmetric quantization: pooled values are a subset of the elements)."""
-    if isinstance(t, QTensor):
-        p, idx = max_pool_2x2_with_indices(t.q)
-        return QTensor(p, t.scale, t.dtype), idx
-    return max_pool_2x2_with_indices(t)
-
-
-def _qpool(t):
-    if isinstance(t, QTensor):
-        return QTensor(max_pool_2x2(t.q), t.scale, t.dtype)
-    return max_pool_2x2(t)
+# max-pool through any activation form (QTensor pooling commutes with
+# symmetric quantization; W-minor forms pool in place — ops/wminor.py)
+_qpool_idx = pool2x2_with_indices
+_qpool = pool2x2
 
 
 def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
@@ -113,11 +109,11 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
     activation never leaves VMEM); the composition path applies it after.
     Returns (stage_output_or_None, logits_or_None).
     """
-    # NB: QTensor is itself a NamedTuple — it must not be unpacked as a
-    # multi-part input
+    # NB: QTensor/WTensor are themselves NamedTuples — they must not be
+    # unpacked as multi-part inputs
     parts = (
         tuple(x)
-        if isinstance(x, (tuple, list)) and not isinstance(x, QTensor)
+        if isinstance(x, (tuple, list)) and not isinstance(x, (QTensor, WTensor))
         else (x,)
     )
     in_planes = sum(p.shape[-1] for p in parts)
@@ -164,20 +160,22 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
         bp = Bottleneck(planes, in_planes=in_planes, name=bname)(None, False)
         sp = SPADE(*spade_args, name=sname)(None, None)
         head = None if final_conv is None else final_conv(None)
-        out = fused_eval_stage_bneck(parts, bp, sp, final_head=head)
+        out = fused_eval_stage_bneck(parts, bp, sp, final_head=head,
+                                     emit_wminor=True)
         return (out, None) if final_conv is None else (None, out)
     if (
         not train
         and block in ("basic", "vgg")
         and fused_stage_enabled()
-        and fused_stage_supported(parts, planes, pack=True)
+        and fused_stage_supported(parts, planes, pack=True,
+                                  int8=int8_stage_enabled())
         # BasicBlock's shortcut conv must exist for the fused packing;
         # VGG stages have no shortcut at all (zero columns)
         and (block == "vgg" or in_planes != planes)
         and fused_stage_probe_ok(
             parts, planes, num_classes, int(max(planes / ss, 4)),
             None if final_conv is None else num_classes,
-            pack=True,
+            pack=True, int8=int8_stage_enabled(),
         )
     ):
         if block == "vgg":
@@ -192,9 +190,11 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
                 parts, bp, sp, final_head=head, calib_key=bname,
                 out_abs_max=None if final_conv is not None
                 else _out_amax(out_calib_key),
+                emit_wminor=True,
             )
         else:
-            out = fused_eval_stage(parts, bp, sp, final_head=head)
+            out = fused_eval_stage(parts, bp, sp, final_head=head,
+                                   emit_wminor=True)
         return (out, None) if final_conv is None else (None, out)
     if not train and block in ("basic", "vgg") and int8_stage_enabled():
         # deep/unfused stage in int8 mode: XLA-native s8 convs (the MXU runs
@@ -205,8 +205,9 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
                           name=bname)(None, False)
         else:
             bp = BasicBlock(planes, in_planes=in_planes, name=bname)(None, False)
-        y = xla_int8_block(parts, bp, calib_key=bname,
-                           residual=(block != "vgg"))
+        # deep levels stay NHWC (cheap boundary: 4×+ smaller than level 0)
+        y = xla_int8_block(tuple(to_nhwc(p) for p in parts), bp,
+                           calib_key=bname, residual=(block != "vgg"))
         y = SPADE(*spade_args, name=sname)(y, y)
         am = None if final_conv is not None else _out_amax(out_calib_key)
         if am is not None:
@@ -217,9 +218,10 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
                          -127, 127).astype(jnp.int8)
             y = QTensor(q, s, y.dtype)
         return (y, None) if final_conv is None else (y, final_conv(y))
-    if any(isinstance(p, QTensor) for p in parts):
-        # composition fallback reached with producer-quantized inputs
-        # (e.g. a bneck stage consuming an s8 skip): dequantize first
+    if any(isinstance(p, (QTensor, WTensor)) for p in parts):
+        # composition fallback reached with producer-quantized or W-minor
+        # inputs (e.g. a stage whose probe failed consuming a fused skip):
+        # back to plain NHWC first
         parts = tuple(_dq(p) for p in parts)
         x = parts if len(parts) > 1 else parts[0]
     if block == "vgg":
@@ -305,10 +307,10 @@ class UNetBSS(nn.Module):
                                 block="bneck")[0]
 
         x0_0 = stage(x, 0, "conv0_0", "SPADE0_0")
-        x1_0 = stage(max_pool_2x2(x0_0), 1, "conv1_0", "SPADE1_0")
-        x2_0 = stage(max_pool_2x2(x1_0), 2, "conv2_0", "SPADE2_0")
-        x3_0 = stage(max_pool_2x2(x2_0), 3, "conv3_0", "SPADE3_0")
-        x4_0 = stage(max_pool_2x2(x3_0), 4, "conv4_0", "SPADE4_0")
+        x1_0 = stage(_qpool(x0_0), 1, "conv1_0", "SPADE1_0")
+        x2_0 = stage(_qpool(x1_0), 2, "conv2_0", "SPADE2_0")
+        x3_0 = stage(_qpool(x2_0), 3, "conv3_0", "SPADE3_0")
+        x4_0 = stage(_qpool(x3_0), 4, "conv4_0", "SPADE4_0")
 
         x3_1 = stage((x3_0, _up(x4_0)), 3, "conv3_1", "SPADE3_1")
         x2_2 = stage((x2_0, _up(x3_1)), 2, "conv2_2", "SPADE2_2")
@@ -418,15 +420,15 @@ class UNetRSSv2(nn.Module):
 
         enc_5 = stage(p4, f[5], "conv5_0", "SPADE5_0")
         enc_5 = Conv2d(f[4], 1, use_bias=False, name="conv_head5_0")(enc_5)
-        enc_5_up = max_unpool_2x2(enc_5, idx4)
+        enc_5_up = unpool2x2(enc_5, idx4)
 
         dec_4 = stage((enc_4, enc_5_up), f[4], "conv4_1", "SPADE4_1")
         dec_4 = Conv2d(f[3], 1, use_bias=False, name="conv_head4_1")(dec_4)
-        dec_4_up = max_unpool_2x2(dec_4, idx3)
+        dec_4_up = unpool2x2(dec_4, idx3)
 
         dec_3 = stage((enc_3, dec_4_up), f[3], "conv3_1", "SPADE3_1")
         dec_3 = Conv2d(f[2], 1, use_bias=False, name="conv_head3_1")(dec_3)
-        dec_3_up = max_unpool_2x2(dec_3, idx2)
+        dec_3_up = unpool2x2(dec_3, idx2)
 
         dec_2 = stage((enc_2, dec_3_up), f[2], "conv2_1", "SPADE2_1")
 

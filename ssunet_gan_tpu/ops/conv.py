@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ssunet_gan_tpu.ops.acts import WTensor
+
 
 def torch_kernel_init(key, shape, dtype=jnp.float32):
     """U(−1/√fan_in, 1/√fan_in) for HWIO kernels (torch conv default)."""
@@ -85,7 +87,21 @@ class Conv2d(nn.Module):
             parts: Tuple = ()
             in_ch = self.in_channels
         else:
-            parts = tuple(x) if isinstance(x, (tuple, list)) else (x,)
+            # W-minor (N, H, C, W) activations from the fused eval path
+            # (ops/wminor.py): 1×1/stride-1 convs — the SS-UNet per-level
+            # heads — run natively in that orientation (a C-axis einsum, no
+            # relayout) and KEEP it; any other geometry converts here.
+            wminor_in = isinstance(x, WTensor)
+            if wminor_in and not (
+                ks == (1, 1) and st == (1, 1) and pd == (0, 0)
+                and self.groups == 1
+            ):
+                x, wminor_in = jnp.swapaxes(x.v, 2, 3), False
+            parts = (
+                (x,)
+                if isinstance(x, WTensor)
+                else tuple(x) if isinstance(x, (tuple, list)) else (x,)
+            )
             in_ch = sum(p.shape[-1] for p in parts)
         if len(parts) > 1 and self.groups != 1:
             raise ValueError("tuple (split-concat) input requires groups=1")
@@ -104,6 +120,28 @@ class Conv2d(nn.Module):
                 else _bias_init_for_fan(fan_in)
             )
             return kernel, self.param("bias", bias_init, (self.features,), jnp.float32)
+
+        if wminor_in:
+            v = parts[0].v  # (N, H, C_in, W)
+            k11 = kernel[0, 0].astype(v.dtype)  # (C_in, features)
+            y = jnp.einsum(
+                "if,nhiw->nhfw", k11, v,
+                preferred_element_type=(
+                    jnp.float32 if v.dtype == jnp.float32 else None
+                ),
+            )
+            if self.use_bias:
+                fan_in = int(np.prod(kernel_shape[:-1]))
+                bias_init = (
+                    nn.initializers.constant(self.bias_fill)
+                    if self.bias_fill is not None
+                    else _bias_init_for_fan(fan_in)
+                )
+                bias = self.param(
+                    "bias", bias_init, (self.features,), jnp.float32
+                )
+                y = y + bias.astype(y.dtype)[:, None]
+            return WTensor(y.astype(v.dtype))
 
         def one(p: jax.Array, k: jax.Array) -> jax.Array:
             return jax.lax.conv_general_dilated(

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ssunet_gan_tpu.ops.acts import WTensor
 from ssunet_gan_tpu.ops.spade_kernel import (
     _conv3_rows,
     _interpret,
@@ -48,6 +49,14 @@ from ssunet_gan_tpu.ops.spade_kernel import (
     pack_seg_stacked,
     pick_seg_r,
 )
+
+
+def _wminor_views(parts):
+    """(N, H, C, W) views of a part list (WTensor parts are already there;
+    plain NHWC arrays get the boundary swap)."""
+    return [
+        p.v if isinstance(p, WTensor) else jnp.swapaxes(p, 2, 3) for p in parts
+    ]
 
 # ---------------------------------------------------------------------------
 # Mode toggle: None = auto (ON for TPU backends — measured 169.6 vs 142.6
@@ -171,9 +180,13 @@ _REJECT_BYTES = int(2.5 * _VMEM_LIMIT)
 # VMEM working set. Measured on the flagship b=32 @512² (r3 sweep):
 # bf16-fused 170.3 / 195.2 / 207.7 tiles/s and int8-calibrated 250.3 /
 # 285.7 / 295.6 at th = 8 / 16 / 32; th=64 exceeds the 64 MB scoped-VMEM
-# cap (Mosaic stack OOM at 78 MB). ``set_band_rows`` forces one height
-# (perf sweeps).
+# cap in bf16 (Mosaic stack OOM at 78 MB; re-confirmed post-downcast-
+# epilogues via the probe tier — clean XLA fallback, no crash). The int8
+# kernel's slabs are 1-2 bytes/elem, so ``int8=True`` additionally tries
+# th=64 through the NEVER-TRUSTED probe tier (the s8 probe program below).
+# ``set_band_rows`` forces one height (perf sweeps).
 _TH_CANDIDATES = (32, 16, 8)
+_TH_CANDIDATES_INT8 = (64, 32, 16, 8)
 _BAND_ROWS: Optional[int] = None
 
 
@@ -183,7 +196,21 @@ def set_band_rows(th: Optional[int]) -> None:
 
 
 def _vmem_estimate(h: int, w: int, c: int, part_ch, itemsize: int,
-                   th: int = 8) -> int:
+                   th: int = 8, int8: bool = False) -> int:
+    if int8:
+        # s8 x-slabs (1 B), bf16 h1 after the per-row downcast + its s8
+        # requant copy, bf16 y / SPADE gb / out (×2 buf), f32 DQ vectors
+        parts_b = sum(
+            ((th + 5) + 2 * th + (th + 10)) * cp * w * 1 for cp in part_ch
+        )
+        mid_b = (
+            (th + 8) * c * w * (itemsize + 1)
+            + (th + 6) * c * w * itemsize
+            + th * 2 * c * w * itemsize
+            + 2 * th * c * w * itemsize
+            + 5 * c * w * 4
+        )
+        return parts_b + mid_b
     # per part: rolling scratch + double-buffered cur block + xh slab
     parts_b = sum(
         ((th + 5) + 2 * th + (th + 10)) * cp * w * itemsize for cp in part_ch
@@ -194,28 +221,43 @@ def _vmem_estimate(h: int, w: int, c: int, part_ch, itemsize: int,
     return parts_b + mid_b
 
 
-def _pick_th(h: int, w: int, c: int, part_ch, itemsize: int = 2) -> Optional[int]:
-    """Pick the band height: the largest candidate dividing ``h`` whose
-    estimated working set clears the trust threshold, else the smallest
-    feasible one (whose fate the probe tier decides). The rolling-halo
-    lookahead needs th ≥ 5 rows from exactly one future block, so every
-    candidate is ≥ 8."""
+def _th_candidates(h: int, w: int, c: int, part_ch, itemsize: int,
+                   int8: bool = False) -> tuple:
+    """Feasible band heights, largest first (below the reject tier; the
+    rolling-halo lookahead needs th ≥ 5 rows from exactly one future block,
+    so every candidate is ≥ 8)."""
     if _BAND_ROWS is not None:
-        return _BAND_ROWS if h % _BAND_ROWS == 0 else None
+        cands = (_BAND_ROWS,)
+    else:
+        cands = _TH_CANDIDATES_INT8 if int8 else _TH_CANDIDATES
+    return tuple(
+        th
+        for th in cands
+        if h % th == 0
+        and _vmem_estimate(h, w, c, part_ch, itemsize, th, int8) < _REJECT_BYTES
+    )
+
+
+def _pick_th(h: int, w: int, c: int, part_ch, itemsize: int = 2,
+             int8: bool = False) -> Optional[int]:
+    """Static feasibility pick (no probing): the largest TRUSTED candidate,
+    else the smallest feasible one.  Only a pre-gate — the resolved height
+    the kernels actually run at comes from :func:`resolve_band_th`."""
     feasible = None
-    for th in _TH_CANDIDATES:
-        if h % th:
-            continue
-        est = _vmem_estimate(h, w, c, part_ch, itemsize, th)
-        if est < _TRUST_BYTES:
-            return th  # largest trusted candidate
-        if est < _REJECT_BYTES:
-            feasible = th  # smallest feasible → best odds at the probe tier
+    for th in _th_candidates(h, w, c, part_ch, itemsize, int8):
+        if (
+            th <= 32
+            and _vmem_estimate(h, w, c, part_ch, itemsize, th, int8)
+            < _TRUST_BYTES
+        ):
+            return th
+        feasible = th  # last = smallest feasible
     return feasible
 
 
 def fused_stage_supported(
-    parts: Sequence[jax.Array], planes: int, pack: bool = False
+    parts: Sequence[jax.Array], planes: int, pack: bool = False,
+    int8: bool = False,
 ) -> bool:
     """Static gate: eval-size constraints for the W-minor kernel.
 
@@ -235,16 +277,80 @@ def fused_stage_supported(
         and h >= 8
         and wp >= min_w
         and planes <= (max(_PACK_MAX_PLANES, 256) if pack else 256)
-        and _pick_th(
-            h, wp, planes, [p.shape[-1] for p in parts],
-            parts[0].dtype.itemsize,
+        and len(
+            _th_candidates(
+                h, wp, planes, [p.shape[-1] for p in parts],
+                jnp.dtype(parts[0].dtype).itemsize, int8,
+            )
         )
-        is not None
+        > 0
     )
 
 
-# Probe-compile verdicts, keyed by the kernel's full shape signature.
-_PROBE_CACHE: dict = {}
+# Resolved band heights (trusted or probe-passed), keyed by the kernel's
+# full shape signature; False-y value = no feasible height (XLA fallback).
+_TH_CACHE: dict = {}
+
+
+def resolve_band_th(
+    parts: Sequence[jax.Array],
+    planes: int,
+    label_nc: int,
+    nhidden: int,
+    num_out: Optional[int] = None,
+    pack: bool = False,
+    int8: bool = False,
+) -> Optional[int]:
+    """The band height the fused kernel will run at for this stage shape:
+    candidates are tried LARGEST first — the trust tier admits the measured
+    region (th ≤ 32, planes ≤ 256, byte-sum under the calibrated bound),
+    anything else probe-compiles the actual kernel program (bf16 or int8)
+    once per signature; a Mosaic failure falls through to the next smaller
+    height, and ``None`` (nothing compiles) means the XLA composition.
+
+    Deep levels (planes > 256, reachable only with ``pack=True``) and the
+    int8-only th=64 never take the trust tier — their VMEM economics sit
+    outside the r2/r3 measured calibration."""
+    h, w = parts[0].shape[1], parts[0].shape[2]
+    part_ch = tuple(p.shape[-1] for p in parts)
+    dtype = jnp.dtype(parts[0].dtype)
+    f = _pack_factor(parts[0].shape[0], w) if pack else 1
+    wp = w * f
+    sub_w = w if f > 1 else 0
+    key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out,
+           dtype.name, seg_stack_enabled(), int8, _BAND_ROWS)
+    if key in _TH_CACHE:
+        return _TH_CACHE[key]
+    resolved = None
+    for th in _th_candidates(h, wp, planes, part_ch, dtype.itemsize, int8):
+        if (
+            planes <= 256
+            and th <= 32
+            and _vmem_estimate(h, wp, planes, part_ch, dtype.itemsize, th,
+                               int8)
+            < _TRUST_BYTES
+        ):
+            resolved = th
+            break
+        if int8:
+            from ssunet_gan_tpu.ops.stage_kernel_int8 import (
+                _probe_compile_int8,
+            )
+
+            ok = _probe_compile_int8(
+                h, wp, part_ch, planes, label_nc, nhidden, num_out,
+                dtype, sub_w, th=th,
+            )
+        else:
+            ok = _probe_compile(
+                h, wp, part_ch, planes, label_nc, nhidden, num_out, dtype,
+                sub_w, th=th,
+            )
+        if ok:
+            resolved = th
+            break
+    _TH_CACHE[key] = resolved
+    return resolved
 
 
 def fused_stage_probe_ok(
@@ -254,39 +360,17 @@ def fused_stage_probe_ok(
     nhidden: int,
     num_out: Optional[int] = None,
     pack: bool = False,
+    int8: bool = False,
 ) -> bool:
-    """Second-tier gate: trust the measured VMEM region, otherwise compile
-    the kernel once for this shape signature and cache the verdict.
-
-    Callers (the model stage dispatch) fall back to the XLA module
-    composition when this returns False — the failure mode the old
-    guard-band heuristic turned into a Mosaic compile crash. Deep levels
-    (planes > 256, reachable only with ``pack=True``) never take the
-    trust tier: their packed weights dominate VMEM in a way the r2-measured
-    byte-sum wasn't calibrated for, so they always probe-compile (cached)."""
-    h, w = parts[0].shape[1], parts[0].shape[2]
-    part_ch = tuple(p.shape[-1] for p in parts)
-    dtype = parts[0].dtype
-    f = _pack_factor(parts[0].shape[0], w) if pack else 1
-    wp = w * f
-    sub_w = w if f > 1 else 0
-    th = _pick_th(h, wp, planes, part_ch, dtype.itemsize)
-    if th is None:
-        return False
-    if (
-        planes <= 256
-        and _vmem_estimate(h, wp, planes, part_ch, dtype.itemsize, th)
-        < _TRUST_BYTES
-    ):
-        return True
-    key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out,
-           dtype.name, th, seg_stack_enabled())
-    if key not in _PROBE_CACHE:
-        _PROBE_CACHE[key] = _probe_compile(
-            h, wp, part_ch, planes, label_nc, nhidden, num_out, dtype, sub_w,
-            th=th,
-        )
-    return _PROBE_CACHE[key]
+    """Second-tier gate: True iff :func:`resolve_band_th` finds a band
+    height that is trusted or probe-compiles cleanly.  Callers (the model
+    stage dispatch) fall back to the XLA module composition on False — the
+    failure mode the old guard-band heuristic turned into a Mosaic crash."""
+    return (
+        resolve_band_th(parts, planes, label_nc, nhidden, num_out, pack,
+                        int8)
+        is not None
+    )
 
 
 def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
@@ -329,8 +413,8 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
         import sys
 
         print(
-            "fused-stage probe failed for shape %s (%s); using XLA fallback"
-            % ((h, w, part_ch, c), type(e).__name__),
+            "fused-stage probe failed for shape %s th=%d (%s); trying the "
+            "next band height" % ((h, w, part_ch, c), th, type(e).__name__),
             file=sys.stderr,
         )
         return False
@@ -490,6 +574,7 @@ def fused_eval_stage(
     block_bundle: Tuple,
     spade_bundle: Tuple,
     final_head: Optional[Tuple] = None,
+    emit_wminor: bool = False,
 ) -> jax.Array:
     """Eval-mode BasicBlock + self-SPADE stage as one Pallas program.
 
@@ -499,6 +584,10 @@ def fused_eval_stage(
     (kernel (1,1,C,ncls), bias) folds the model's final 1×1 conv in and
     makes the LOGITS the kernel's only output (the full-res stage output
     never leaves VMEM).
+
+    ``parts`` may mix NHWC arrays and W-minor :class:`WTensor`\\ s;
+    ``emit_wminor=True`` returns a :class:`WTensor` (unpacked lane layouts
+    and folded-head logits always come back NHWC) — see ops/wminor.py.
     """
     k1, (s1, t1), k2, (s2, t2), ks = block_bundle
     k1s, b1s, k2s, b2s, kgs, bgs, kbs, bbs = spade_bundle
@@ -557,13 +646,15 @@ def fused_eval_stage(
             [kf[0, 0].T, bf.reshape(kf.shape[-1], 1)], axis=1
         ).astype(dtype)  # (ncls, C+1)
 
-    parts_v = [jnp.swapaxes(p, 2, 3) for p in parts]  # (N, H, Cp, W)
+    parts_v = _wminor_views(parts)  # (N, H, Cp, W)
     n, h, w = parts_v[0].shape[0], parts_v[0].shape[1], parts_v[0].shape[3]
     f = _pack_factor(n, w)
     sub_w = w if f > 1 else 0
     if f > 1:  # deep level: fill the lanes with f images side by side
         parts_v = [_pack_lanes(pv, f) for pv in parts_v]
-    th = _pick_th(h, w * f, c, [p.shape[-1] for p in parts], dtype.itemsize)
+    th = resolve_band_th(
+        parts, c, lab, nh, None if KF is None else KF.shape[0], pack=True,
+    )
     assert th is not None, "caller must gate with fused_stage_supported"
     seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
     if seg_r:
@@ -574,6 +665,8 @@ def fused_eval_stage(
     )
     if f > 1:
         outv = _unpack_lanes(outv, f)
+    elif emit_wminor and KF is None:
+        return WTensor(outv)
     return jnp.swapaxes(outv, 2, 3)
 
 # ---------------------------------------------------------------------------
@@ -705,6 +798,7 @@ def fused_eval_stage_bneck(
     block_bundle: Tuple,
     spade_bundle: Tuple,
     final_head: Optional[Tuple] = None,
+    emit_wminor: bool = False,
 ) -> jax.Array:
     """Eval-mode Bottleneck + self-SPADE stage as one Pallas program.
 
@@ -762,7 +856,7 @@ def fused_eval_stage_bneck(
             [kf[0, 0].T, bf.reshape(kf.shape[-1], 1)], axis=1
         ).astype(dtype)
 
-    parts_v = [jnp.swapaxes(p, 2, 3) for p in parts]
+    parts_v = _wminor_views(parts)
     n, h, _, w = parts_v[0].shape
     f = _pack_factor(n, w)
     sub_w = w if f > 1 else 0
@@ -811,4 +905,6 @@ def fused_eval_stage_bneck(
     )(*parts_v, *weights)
     if f > 1:
         outv = _unpack_lanes(outv, f)
+    elif emit_wminor and KF is None:
+        return WTensor(outv)
     return jnp.swapaxes(outv, 2, 3)

@@ -46,11 +46,12 @@ from ssunet_gan_tpu.ops.spade_kernel import (
     pick_seg_r,
 )
 from ssunet_gan_tpu.ops.stage_kernel import (
+    _PROBE_MARGIN,
     _VMEM_LIMIT,
     _pack_factor,
     _pack_lanes,
-    _pick_th,
     _unpack_lanes,
+    resolve_band_th,
     seg_stack_enabled,
 )
 
@@ -91,23 +92,32 @@ _RECORD_SINK: Optional[dict] = None
 
 class QTensor(NamedTuple):
     """A producer-quantized activation flowing between stages: ``q`` is the
-    int8 NHWC tensor, ``scale`` the f32 dequantization scale (``x ≈ q·s``),
+    int8 tensor, ``scale`` the f32 dequantization scale (``x ≈ q·s``),
     ``dtype`` the activation dtype the tensor logically stands in for.
     Only exists under static calibration (the scale must be a trace-time
     constant for the emitting kernel). Max-pooling commutes with symmetric
     quantization (pooled values are a subset of the original elements), so
-    pooled QTensors keep the producer's scale."""
+    pooled QTensors keep the producer's scale.
+
+    ``wminor`` marks a (N, H, C, W)-oriented payload (the fused kernels'
+    native orientation — see ops/wminor.py); ``shape`` always reports the
+    LOGICAL NHWC shape and ``dequant`` always returns NHWC."""
 
     q: jax.Array
     scale: float
     dtype: object
+    wminor: bool = False
 
     @property
     def shape(self):
+        if self.wminor:
+            n, h, c, w = self.q.shape
+            return (n, h, w, c)
         return self.q.shape
 
     def dequant(self) -> jax.Array:
-        return (self.q.astype(jnp.float32) * self.scale).astype(self.dtype)
+        q = jnp.swapaxes(self.q, 2, 3) if self.wminor else self.q
+        return (q.astype(jnp.float32) * self.scale).astype(self.dtype)
 
 
 def set_int8_calibration(scales: Optional[dict]) -> None:
@@ -258,7 +268,8 @@ def xla_int8_block(parts: Sequence[jax.Array], block_bundle: Tuple,
 
     def _qin(i, p):
         if isinstance(p, QTensor):
-            return p.q, jnp.float32(p.scale)
+            q = jnp.swapaxes(p.q, 2, 3) if p.wminor else p.q
+            return q, jnp.float32(p.scale)
         return quantize_tensor(p, _amax(i))
 
     qparts, sx = zip(*(_qin(i, p) for i, p in enumerate(parts)))
@@ -447,7 +458,8 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
 def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
                      dtype, KF=None, sub_w: int = 0,
                      out_inv_scale: Optional[float] = None,
-                     seg_r: int = 0, seg_lab: int = 0):
+                     seg_r: int = 0, seg_lab: int = 0,
+                     vmem_limit: Optional[int] = None):
     """parts_q: list of (N, H, Cp, W) int8 views; returns (N, H, C_out, W)
     in ``dtype`` (C_out = stage width, or classes when KF folds the head),
     or int8 when ``out_inv_scale`` is set (kernel-to-kernel int8 flow)."""
@@ -489,9 +501,67 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
         scratch_shapes=[
             pltpu.VMEM((th + 5, part_ch[p], w), jnp.int8) for p in range(n_parts)
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit or _VMEM_LIMIT
+        ),
         interpret=_interpret(),
     )(*parts_q, *weights)
+
+
+def _probe_compile_int8(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
+                        th=8) -> bool:
+    """Probe-compile the INT8 stage program for one shape signature (the
+    bf16 probe in ops/stage_kernel.py doesn't transfer: the s8 slabs halve
+    the VMEM working set, which is exactly what lets the taller bands fit).
+    Conservative configuration: bf16 output (no s8 emission), which is the
+    largest output buffer this signature can need."""
+    if _interpret():
+        return True
+    s = jax.ShapeDtypeStruct
+    csum = sum(part_ch)
+    dtype = jnp.dtype(dtype)
+    seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
+    k1s_shape = (
+        (seg_r * 8, 3 * (seg_r + 2) * c + 1) if seg_r else (lab, 9 * c + 1)
+    )
+    args = (
+        # batch 2 forces the real cross-block double-buffering schedule
+        # (see ops/stage_kernel._probe_compile)
+        [s((2, h, cp, w), jnp.int8) for cp in part_ch]
+        + [
+            s((c, 9 * csum), jnp.int8),   # Wq1
+            s((c, 9 * c), jnp.int8),      # Wq2
+            s((c, csum), jnp.int8),       # Wqs
+            s((5, c, w), jnp.float32),    # DQ (pre-tiled per-channel vecs)
+            s(k1s_shape, dtype),          # K1s
+            s((nh, 9 * lab + 1), dtype),  # K2s
+            s((2 * c, 9 * nh + 1), dtype),  # K3s
+        ]
+        + ([] if num_out is None else [s((num_out, c + 1), dtype)])
+    )
+
+    def fn(*arrs):
+        pq = list(arrs[: len(part_ch)])
+        wq1, wq2, wqs, dq, k1s, k2s, k3s = arrs[len(part_ch) : len(part_ch) + 7]
+        kf = arrs[len(part_ch) + 7] if num_out is not None else None
+        return _stage_call_int8(
+            pq, wq1, wq2, wqs, dq, k1s, k2s, k3s, th, dtype, KF=kf,
+            sub_w=sub_w, seg_r=seg_r, seg_lab=lab,
+            vmem_limit=_VMEM_LIMIT - _PROBE_MARGIN,
+        )
+
+    try:
+        jax.jit(fn).lower(*args).compile()
+        return True
+    except Exception as e:  # Mosaic RESOURCE_EXHAUSTED / lowering failures
+        import sys
+
+        print(
+            "fused-stage int8 probe failed for shape %s th=%d (%s); trying "
+            "the next band height" % ((h, w, part_ch, c), th, type(e).__name__),
+            file=sys.stderr,
+        )
+        return False
 
 
 # ---------------------------------------------------------------------------
@@ -506,6 +576,7 @@ def fused_eval_stage_int8(
     final_head: Optional[Tuple] = None,
     calib_key: Optional[str] = None,
     out_abs_max: Optional[float] = None,
+    emit_wminor: bool = False,
 ) -> Union[jax.Array, "QTensor"]:
     """int8 eval stage: quantize inputs (dynamic per-tensor, or static when
     ``calib_key`` hits installed calibration scales; a :class:`QTensor` part
@@ -516,7 +587,12 @@ def fused_eval_stage_int8(
     int8 flow: the HBM write, relayout and consumer quantize all move s8).
 
     Bundles are identical to :func:`ops.stage_kernel.fused_eval_stage`.
+    Parts may be NHWC arrays, W-minor :class:`ops.acts.WTensor`\\ s or
+    (either-orientation) QTensors; ``emit_wminor=True`` keeps the output in
+    the kernel's W-minor orientation (ops/wminor.py) when no head is folded
+    and no lane packing applies.
     """
+    from ssunet_gan_tpu.ops.acts import WTensor
     k1, (s1, t1), k2, (s2, t2), ks = block_bundle
     k1s, b1s, k2s, b2s, kgs, bgs, kbs, bbs = spade_bundle
     dtype = parts[0].dtype
@@ -533,9 +609,14 @@ def fused_eval_stage_int8(
         return _CALIB_SCALES.get(f"{calib_key}:{i}")
 
     def _qin(i, p):
+        """Quantized W-minor (N, H, Cp, W) view + scale of part ``i``."""
         if isinstance(p, QTensor):
-            return p.q, jnp.float32(p.scale)
-        return quantize_tensor(p, _amax(i))
+            q = p.q if p.wminor else jnp.swapaxes(p.q, 2, 3)
+            return q, jnp.float32(p.scale)
+        if isinstance(p, WTensor):
+            return quantize_tensor(p.v, _amax(i))
+        q, s = quantize_tensor(p, _amax(i))
+        return jnp.swapaxes(q, 2, 3), s
 
     qparts, sx = zip(*(_qin(i, p) for i, p in enumerate(parts)))
 
@@ -603,15 +684,14 @@ def fused_eval_stage_int8(
         s_out = max(float(out_abs_max) / 127.0, 1e-12)
         out_inv = 1.0 / s_out
 
-    parts_q = [jnp.swapaxes(q, 2, 3) for q in qparts]  # (N, H, Cp, W) int8
+    parts_q = list(qparts)  # (N, H, Cp, W) int8 (already W-minor via _qin)
     sub_w = parts_q[0].shape[-1] if f > 1 else 0
     if f > 1:
         parts_q = [_pack_lanes(q, f) for q in parts_q]
-    # band height from the same gate the dispatch used (dtype = the LOGICAL
-    # activation dtype — conservative for the s8 operands)
-    th = _pick_th(
-        parts_q[0].shape[1], parts_q[0].shape[-1], c,
-        [p.shape[-1] for p in parts], jnp.dtype(dtype).itemsize,
+    # band height from the same (int8-program-probed) gate the dispatch used
+    th = resolve_band_th(
+        parts, c, lab, nh,
+        None if final_head is None else KF.shape[0], pack=True, int8=True,
     )
     assert th is not None, "caller must gate with fused_stage_supported"
     seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
@@ -623,6 +703,10 @@ def fused_eval_stage_int8(
     )
     if f > 1:
         outv = _unpack_lanes(outv, f)
+    elif emit_wminor and KF is None:
+        if out_abs_max is not None:
+            return QTensor(outv, s_out, dtype, wminor=True)
+        return WTensor(outv)
     out = jnp.swapaxes(outv, 2, 3)
     if out_abs_max is not None:
         return QTensor(out, s_out, dtype)

@@ -1,0 +1,194 @@
+"""W-minor activation domain for the fused eval path.
+
+The fused stage kernels (ops/stage_kernel*.py) compute in (N, H, C, W)
+orientation; their XLA entries historically swapped NHWC ↔ W-minor at every
+kernel boundary.  Between two fused stages the pools / index-unpools /
+bilinear upsamples sat in NHWC, so XLA had to materialize transposing
+relayout copies around every seam — ~22 ms/iter of the flagship's eval
+profile (BASELINE.md r2/r3 device traces), the largest non-MXU cost left.
+
+This module keeps activations in the kernels' native W-minor orientation
+ACROSS those seams:
+
+* :class:`WTensor` wraps a (N, H, C, W) activation and exposes the logical
+  NHWC ``shape``/``dtype`` so the fused-stage gates (which reason about the
+  logical image) work unchanged;
+* :class:`WCode` wraps a W-minor window-local max-pool code (see
+  ``ops/pool.py`` for the 2-bit-code design that replaces torch's flat HBM
+  indices, /root/reference/scripts/archs.py:571-572,647-659);
+* ``pool2x2* / unpool2x2 / upsample2x`` dispatch on the wrapper types and
+  run the W-minor math directly — pure reshape/VPU ops with no transposes,
+  so the only remaining layout conversions sit at the (cheap, 4×-smaller)
+  boundaries to the unfused deep levels.
+
+The quantized flow composes: a producer-quantized :class:`QTensor`
+(ops/stage_kernel_int8.py) carries a ``wminor`` flag, and the pools below
+pool its s8 payload in place (max-pooling commutes with symmetric
+quantization).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ssunet_gan_tpu.ops import pool as nhwc_pool
+from ssunet_gan_tpu.ops import resize as nhwc_resize
+from ssunet_gan_tpu.ops.acts import WCode, WTensor
+from ssunet_gan_tpu.ops.resize import _linear_matrix
+from ssunet_gan_tpu.ops.stage_kernel_int8 import QTensor
+
+__all__ = [
+    "WTensor", "WCode", "is_wminor", "to_nhwc", "to_wminor_view",
+    "pool2x2", "pool2x2_with_indices", "unpool2x2", "upsample2x",
+]
+
+
+Activation = Union[jax.Array, WTensor, QTensor]
+
+
+def is_wminor(t) -> bool:
+    return isinstance(t, WTensor) or (isinstance(t, QTensor) and t.wminor)
+
+
+def to_nhwc(t: Activation):
+    """Any activation → its NHWC form (QTensor stays a QTensor)."""
+    if isinstance(t, WTensor):
+        return jnp.swapaxes(t.v, 2, 3)
+    if isinstance(t, QTensor) and t.wminor:
+        return QTensor(jnp.swapaxes(t.q, 2, 3), t.scale, t.dtype)
+    return t
+
+
+def to_wminor_view(t: Activation) -> jax.Array:
+    """The raw (N, H, C, W) view of an unquantized activation."""
+    if isinstance(t, WTensor):
+        return t.v
+    assert not isinstance(t, QTensor), "quantized parts are handled per-path"
+    return jnp.swapaxes(t, 2, 3)
+
+
+# ---------------------------------------------------------------------------
+# W-minor pooling (math of ops/pool.py on the (N, H, C, W) orientation).
+# ---------------------------------------------------------------------------
+
+
+def _crop_even_w(v: jax.Array) -> jax.Array:
+    _, h, _, w = v.shape
+    return v[:, : h - h % 2, :, : w - w % 2]
+
+
+def _quads(v: jax.Array):
+    """The four 2×2-window corners of a (N, H, C, W) tensor, each
+    (N, H/2, C, W/2), in torch row-major window order TL, TR, BL, BR."""
+    n, h, c, w = v.shape
+    v6 = v.reshape(n, h // 2, 2, c, w // 2, 2)
+    return (
+        v6[:, :, 0, :, :, 0],
+        v6[:, :, 0, :, :, 1],
+        v6[:, :, 1, :, :, 0],
+        v6[:, :, 1, :, :, 1],
+    )
+
+
+def _max_pool_w(v: jax.Array) -> jax.Array:
+    a, b, c_, d = _quads(_crop_even_w(v))
+    return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c_, d))
+
+
+def _max_pool_idx_w(v: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(pooled, code) with the first-maximum tie rule of ``jnp.argmax`` /
+    torch (window order TL, TR, BL, BR)."""
+    a, b, c_, d = _quads(_crop_even_w(v))
+    pooled = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c_, d))
+    code = jnp.where(
+        a == pooled,
+        jnp.int8(0),
+        jnp.where(b == pooled, jnp.int8(1), jnp.where(c_ == pooled, jnp.int8(2), jnp.int8(3))),
+    )
+    return pooled, code
+
+
+def _unpool_w(values: jax.Array, code: jax.Array) -> jax.Array:
+    """Inverse: scatter each value to its window corner, zeros elsewhere."""
+    n, h2, c, w2 = values.shape
+    zero = jnp.zeros_like(values)
+    quads = [jnp.where(code == k, values, zero) for k in range(4)]
+    # interleave W: (.., W2, 2) → W; then interleave H: (.., H2, 2, ..) → H
+    row0 = jnp.stack([quads[0], quads[1]], axis=-1).reshape(n, h2, c, 2 * w2)
+    row1 = jnp.stack([quads[2], quads[3]], axis=-1).reshape(n, h2, c, 2 * w2)
+    return jnp.stack([row0, row1], axis=2).reshape(n, 2 * h2, c, 2 * w2)
+
+
+# ---------------------------------------------------------------------------
+# Dispatching wrappers (the model's eval-path pool/upsample entry points).
+# ---------------------------------------------------------------------------
+
+
+def pool2x2(t: Activation) -> Activation:
+    """``nn.MaxPool2d(2, 2)`` on any activation form, preserving the form."""
+    if isinstance(t, WTensor):
+        return WTensor(_max_pool_w(t.v))
+    if isinstance(t, QTensor):
+        if t.wminor:
+            return QTensor(_max_pool_w(t.q), t.scale, t.dtype, wminor=True)
+        return QTensor(nhwc_pool.max_pool_2x2(t.q), t.scale, t.dtype)
+    return nhwc_pool.max_pool_2x2(t)
+
+
+def pool2x2_with_indices(t: Activation):
+    """``nn.MaxPool2d(2, 2, return_indices=True)`` on any activation form.
+
+    W-minor inputs return a :class:`WCode`; NHWC inputs return the NHWC
+    code of ``ops.pool.max_pool_2x2_with_indices``."""
+    if isinstance(t, WTensor):
+        p, code = _max_pool_idx_w(t.v)
+        return WTensor(p), WCode(code)
+    if isinstance(t, QTensor):
+        if t.wminor:
+            p, code = _max_pool_idx_w(t.q)
+            return QTensor(p, t.scale, t.dtype, wminor=True), WCode(code)
+        p, code = nhwc_pool.max_pool_2x2_with_indices(t.q)
+        return QTensor(p, t.scale, t.dtype), code
+    return nhwc_pool.max_pool_2x2_with_indices(t)
+
+
+def unpool2x2(values: Activation, code) -> Activation:
+    """``nn.MaxUnpool2d(2, stride=2)``; a :class:`WCode` keeps the result
+    in the W-minor domain (converting the SMALL pre-unpool tensor instead
+    of the 4×-larger unpooled one)."""
+    if isinstance(values, QTensor):
+        values = values.dequant()  # unpool sites are bf16 in every arch
+    if isinstance(code, WCode):
+        v = values.v if isinstance(values, WTensor) else jnp.swapaxes(values, 2, 3)
+        return WTensor(_unpool_w(v, code.c))
+    if isinstance(values, WTensor):
+        values = jnp.swapaxes(values.v, 2, 3)
+    return nhwc_pool.max_unpool_2x2(values, code)
+
+
+def upsample2x(t: Activation, align_corners: bool = True) -> Activation:
+    """torch ``nn.Upsample(scale_factor=2, mode='bilinear')`` preserving the
+    activation form (W-minor stays W-minor — two einsums over axes 1/3)."""
+    if isinstance(t, QTensor):
+        t = t.dequant()
+    if not isinstance(t, WTensor):
+        return nhwc_resize.upsample_bilinear(t, 2, align_corners=align_corners)
+    v = t.v
+    _, h, _, w = v.shape
+    rm = np.asarray(_linear_matrix(h, 2 * h, align_corners))
+    cm = np.asarray(_linear_matrix(w, 2 * w, align_corners))
+    if v.dtype == jnp.bfloat16:
+        rmj = jnp.asarray(rm, dtype=jnp.bfloat16)
+        cmj = jnp.asarray(cm, dtype=jnp.bfloat16)
+        x = jnp.einsum("ph,nhcw->npcw", rmj, v, preferred_element_type=jnp.float32)
+        x = jnp.einsum("qw,npcw->npcq", cmj, x, preferred_element_type=jnp.float32)
+        return WTensor(x.astype(v.dtype))
+    prec = jax.lax.Precision.HIGHEST
+    x = v.astype(jnp.float32)
+    x = jnp.einsum("ph,nhcw->npcw", jnp.asarray(rm), x, precision=prec)
+    x = jnp.einsum("qw,npcw->npcq", jnp.asarray(cm), x, precision=prec)
+    return WTensor(x.astype(v.dtype))

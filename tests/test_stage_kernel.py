@@ -164,7 +164,7 @@ def test_probe_gate_falls_back_cleanly(rng, monkeypatch):
     # force every shape into the probe tier, and make the probe "fail"
     monkeypatch.setattr(stage_kernel, "_TRUST_BYTES", 0)
     monkeypatch.setattr(stage_kernel, "_probe_compile", failing_probe)
-    monkeypatch.setattr(stage_kernel, "_PROBE_CACHE", {})
+    monkeypatch.setattr(stage_kernel, "_TH_CACHE", {})
 
     x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
     model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
@@ -187,7 +187,7 @@ def test_probe_verdicts_are_cached(rng, monkeypatch):
     monkeypatch.setattr(
         stage_kernel, "_probe_compile", lambda *a, **k: calls.append(a) or True
     )
-    monkeypatch.setattr(stage_kernel, "_PROBE_CACHE", {})
+    monkeypatch.setattr(stage_kernel, "_TH_CACHE", {})
 
     parts = (jnp.zeros((1, 16, 16, 8), jnp.float32),)
     for _ in range(3):

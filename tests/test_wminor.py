@@ -1,0 +1,177 @@
+"""W-minor seam ops (ops/wminor.py): parity vs the NHWC reference ops.
+
+The fused eval path keeps activations in the kernels' native (N, H, C, W)
+orientation across pool / unpool / upsample seams; these tests pin the
+W-minor implementations to the NHWC originals (ops/pool.py, ops/resize.py)
+that are themselves parity-tested against torch.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ssunet_gan_tpu.ops.pool import (
+    max_pool_2x2,
+    max_pool_2x2_with_indices,
+    max_unpool_2x2,
+)
+from ssunet_gan_tpu.ops.resize import upsample_bilinear
+from ssunet_gan_tpu.ops.stage_kernel_int8 import QTensor
+from ssunet_gan_tpu.ops.wminor import (
+    WCode,
+    WTensor,
+    pool2x2,
+    pool2x2_with_indices,
+    to_nhwc,
+    unpool2x2,
+    upsample2x,
+)
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape), jnp.float32)
+
+
+def _wt(x):  # NHWC → WTensor
+    return WTensor(jnp.swapaxes(x, 2, 3))
+
+
+def test_wtensor_logical_shape_dtype():
+    x = _rand((2, 8, 6, 5))
+    t = _wt(x)
+    assert t.shape == (2, 8, 6, 5)
+    assert t.dtype == x.dtype
+    np.testing.assert_array_equal(np.asarray(to_nhwc(t)), np.asarray(x))
+
+
+def test_pool2x2_wminor_matches_nhwc():
+    x = _rand((2, 10, 8, 7), seed=1)  # odd channel count on purpose
+    ref = max_pool_2x2(x)
+    out = pool2x2(_wt(x))
+    assert isinstance(out, WTensor)
+    np.testing.assert_array_equal(np.asarray(to_nhwc(out)), np.asarray(ref))
+
+
+def test_pool2x2_wminor_odd_spatial_crop():
+    x = _rand((1, 9, 7, 4), seed=2)  # floor-crop semantics
+    ref = max_pool_2x2(x)
+    out = pool2x2(_wt(x))
+    np.testing.assert_array_equal(np.asarray(to_nhwc(out)), np.asarray(ref))
+
+
+def test_pool_with_indices_and_unpool_roundtrip_matches_nhwc():
+    x = _rand((2, 8, 8, 5), seed=3)
+    ref_p, ref_idx = max_pool_2x2_with_indices(x)
+    p, code = pool2x2_with_indices(_wt(x))
+    assert isinstance(p, WTensor) and isinstance(code, WCode)
+    np.testing.assert_array_equal(np.asarray(to_nhwc(p)), np.asarray(ref_p))
+
+    vals = _rand(ref_p.shape, seed=4)
+    ref_up = max_unpool_2x2(vals, ref_idx)
+    up = unpool2x2(vals, code)  # NHWC values + WCode → W-minor unpool
+    assert isinstance(up, WTensor)
+    np.testing.assert_array_equal(np.asarray(to_nhwc(up)), np.asarray(ref_up))
+
+    up2 = unpool2x2(_wt(vals), code)  # W-minor values + WCode
+    np.testing.assert_array_equal(np.asarray(to_nhwc(up2)), np.asarray(ref_up))
+
+
+def test_pool_indices_tie_breaks_first_max():
+    # equal values in one window: the first (TL-most, row-major) wins,
+    # matching jnp.argmax / torch
+    x = jnp.zeros((1, 2, 2, 1), jnp.float32)
+    _, code = pool2x2_with_indices(_wt(x))
+    assert int(code.c.reshape(-1)[0]) == 0
+    x = x.at[0, 0, 1, 0].set(1.0).at[0, 1, 1, 0].set(1.0)  # TR == BR
+    _, code = pool2x2_with_indices(_wt(x))
+    assert int(code.c.reshape(-1)[0]) == 1
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_upsample2x_wminor_matches_nhwc(dtype):
+    x = _rand((2, 6, 5, 3), seed=5).astype(dtype)
+    ref = upsample_bilinear(x, 2, align_corners=True)
+    out = upsample2x(_wt(x), align_corners=True)
+    assert isinstance(out, WTensor)
+    np.testing.assert_allclose(
+        np.asarray(to_nhwc(out), np.float32),
+        np.asarray(ref, np.float32),
+        rtol=0, atol=0,
+    )
+
+
+def test_qtensor_wminor_pool_and_dequant():
+    x = _rand((2, 8, 6, 4), seed=6)
+    q = jnp.clip(jnp.round(x / 0.02), -127, 127).astype(jnp.int8)
+    t = QTensor(jnp.swapaxes(q, 2, 3), 0.02, jnp.float32, wminor=True)
+    assert t.shape == (2, 8, 6, 4)
+    # dequant always returns NHWC
+    np.testing.assert_allclose(
+        np.asarray(t.dequant()), np.asarray(q, np.float32) * 0.02, rtol=1e-6
+    )
+    pooled = pool2x2(t)
+    assert isinstance(pooled, QTensor) and pooled.wminor
+    ref = max_pool_2x2(q.astype(jnp.int32)).astype(jnp.int8)
+    np.testing.assert_array_equal(
+        np.asarray(jnp.swapaxes(pooled.q, 2, 3)), np.asarray(ref)
+    )
+    p2, code = pool2x2_with_indices(t)
+    assert isinstance(p2, QTensor) and p2.wminor and isinstance(code, WCode)
+    np.testing.assert_array_equal(np.asarray(p2.q), np.asarray(pooled.q))
+
+
+def test_conv2d_1x1_runs_native_on_wminor():
+    # the UNet_R_SS_v2 per-level 1×1 heads receive fused-stage outputs;
+    # on a WTensor they must run in W-minor (and keep the form), matching
+    # the NHWC path bit-for-bit in f32
+    import jax
+    from ssunet_gan_tpu.ops.conv import Conv2d
+
+    x = _rand((2, 8, 8, 6), seed=8)
+    m = Conv2d(4, 1, use_bias=False)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+    ref = m.apply(params, x)
+    out = m.apply(params, _wt(x))
+    assert isinstance(out, WTensor)
+    np.testing.assert_allclose(
+        np.asarray(to_nhwc(out)), np.asarray(ref), rtol=1e-6, atol=1e-6
+    )
+
+    mb = Conv2d(4, 1)  # bias path
+    params = jax.jit(mb.init)(jax.random.PRNGKey(1), x)
+    np.testing.assert_allclose(
+        np.asarray(to_nhwc(mb.apply(params, _wt(x)))),
+        np.asarray(mb.apply(params, x)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_conv2d_3x3_converts_wminor_input():
+    # non-1×1 geometry: the W-minor input converts at the module boundary
+    import jax
+    from ssunet_gan_tpu.ops.conv import Conv2d
+
+    x = _rand((1, 8, 8, 5), seed=9)
+    m = Conv2d(7, 3, padding=1)
+    params = jax.jit(m.init)(jax.random.PRNGKey(2), x)
+    ref = m.apply(params, x)
+    out = m.apply(params, _wt(x))
+    assert not isinstance(out, WTensor)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_plain_nhwc_passthrough():
+    x = _rand((1, 4, 4, 2), seed=7)
+    np.testing.assert_array_equal(
+        np.asarray(pool2x2(x)), np.asarray(max_pool_2x2(x))
+    )
+    p, idx = pool2x2_with_indices(x)
+    rp, ridx = max_pool_2x2_with_indices(x)
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(rp))
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    np.testing.assert_array_equal(
+        np.asarray(unpool2x2(p, idx)), np.asarray(max_unpool_2x2(rp, ridx))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(upsample2x(x)), np.asarray(upsample_bilinear(x, 2, True))
+    )
