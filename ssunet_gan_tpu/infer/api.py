@@ -288,7 +288,7 @@ def _get_forward(model, variables, mesh, normalize: bool = False):
 
     key = (model, mesh, id(variables), normalize, fused_spade_mode(),
            fused_stage_enabled(), int8_stage_enabled(),
-           id(int8_calibration()), seg_stack_enabled())
+           id(int8_calibration()), seg_stack_enabled(int8_stage_enabled()))
     hit = _FORWARD_CACHE.get(key)
     if hit is not None:
         return hit[0], hit[1]

@@ -109,18 +109,23 @@ _PACK_MAX_PLANES = 256
 
 # Stacked seg-conv dots (see spade_kernel.pack_seg_stacked): the x2map
 # conv's M=num_classes per-row dots pay conv2-grade tile passes for ~3% of
-# the FLOPs; stacking r rows per dot cuts them ~3×. OFF until measured on
-# hardware (candidate; flip after a BASELINE.md entry).
-_SEG_STACK = False
+# the FLOPs; stacking r rows per dot cuts them ~3×. Measured (flagship
+# b=32 @512², BASELINE.md): SLOWER in bf16 (163.5 vs 201.5 tiles/s — the
+# wider rhs assembly loses to the bf16 kernels' VMEM economics) but a WIN
+# in int8 (295.3 → 300.6) — so auto (None) resolves to "int8 mode only";
+# set_seg_stack forces either way (sweeps / the "seg_stack" card key).
+_SEG_STACK: Optional[bool] = None
 
 
-def set_seg_stack(enabled: bool) -> None:
+def set_seg_stack(enabled: Optional[bool]) -> None:
     global _SEG_STACK
-    _SEG_STACK = bool(enabled)
+    _SEG_STACK = enabled
 
 
-def seg_stack_enabled() -> bool:
-    return _SEG_STACK
+def seg_stack_enabled(int8: bool = False) -> bool:
+    if _SEG_STACK is None:
+        return int8
+    return bool(_SEG_STACK)
 
 
 def set_pack_max_planes(planes: int) -> None:
@@ -318,7 +323,7 @@ def resolve_band_th(
     wp = w * f
     sub_w = w if f > 1 else 0
     key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out,
-           dtype.name, seg_stack_enabled(), int8, _BAND_ROWS)
+           dtype.name, seg_stack_enabled(int8), int8, _BAND_ROWS)
     if key in _TH_CACHE:
         return _TH_CACHE[key]
     resolved = None

@@ -520,7 +520,7 @@ def _probe_compile_int8(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
     s = jax.ShapeDtypeStruct
     csum = sum(part_ch)
     dtype = jnp.dtype(dtype)
-    seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
+    seg_r = pick_seg_r(th + 4) if seg_stack_enabled(True) else 0
     k1s_shape = (
         (seg_r * 8, 3 * (seg_r + 2) * c + 1) if seg_r else (lab, 9 * c + 1)
     )
@@ -694,7 +694,7 @@ def fused_eval_stage_int8(
         None if final_head is None else KF.shape[0], pack=True, int8=True,
     )
     assert th is not None, "caller must gate with fused_stage_supported"
-    seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
+    seg_r = pick_seg_r(th + 4) if seg_stack_enabled(True) else 0
     if seg_r:
         K1s = pack_seg_stacked(k1s, b1s, seg_r, dtype)
     outv = _stage_call_int8(

@@ -254,7 +254,7 @@ def test_int8_stage_seg_stacked_matches_per_row(rng):
     try:
         got = fused_eval_stage_int8(parts, bp, sp)
     finally:
-        set_seg_stack(False)
+        set_seg_stack(None)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(base), rtol=2e-4, atol=2e-4
     )

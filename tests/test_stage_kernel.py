@@ -370,7 +370,7 @@ def test_stage_forward_parity_seg_stacked(rng, planes, label, shapes, nh):
         got = _fused_stage(block, spade, bvars, svars, parts,
                            sum(s[-1] for s in shapes))
     finally:
-        set_seg_stack(False)
+        set_seg_stack(None)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
     )
@@ -398,7 +398,7 @@ def test_bneck_stage_parity_seg_stacked(rng):
     try:
         got = fused_eval_stage_bneck((x,), bp, sp)
     finally:
-        set_seg_stack(False)
+        set_seg_stack(None)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
     )

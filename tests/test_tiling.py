@@ -194,7 +194,7 @@ def test_sharded_inference_fused_kernels_match_unfused(rng):
                                mesh=make_mesh())
     finally:
         set_fused_stage(None)
-        set_seg_stack(False)
+        set_seg_stack(None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-4)
 

@@ -47,7 +47,8 @@ def main(argv=None):
     )
     from ssunet_gan_tpu.utils import jit_init
 
-    set_seg_stack(bool(args.seg_stack))
+    if args.seg_stack:
+        set_seg_stack(True)  # default: auto (int8-only — measured win)
     if args.band_rows:
         set_band_rows(args.band_rows)
 
