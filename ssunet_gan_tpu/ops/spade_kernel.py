@@ -309,9 +309,13 @@ def _seg_rows_stacked(xh, k1_ref, t_out: int, r: int, lab: int, dtype,
 
 
 def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype, sub_w: int = 0,
-                seg_r: int = 0, seg_lab: int = 0):
+                seg_r: int = 0, seg_lab: int = 0, want_saved: bool = False):
     """Self-SPADE on a W-minor slab ``xh`` of TH+6 rows (3 halo rings each
     side, already zeroed outside the image); returns the TH modulated rows.
+
+    ``want_saved=True`` additionally returns the (TH-row, block-aligned)
+    seg and actv intermediate slabs — the training tail kernel stores them
+    so its custom VJP can run replay-free (ops/stage_kernel_train.py).
 
     ``seg_r`` > 0 switches the x2map conv to stacked dots: ``k1_ref`` must
     then hold the ``pack_seg_stacked`` packing and ``seg_lab`` the label
@@ -360,7 +364,13 @@ def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype, sub_w: int = 0,
         g = acc.astype(dtype)  # (2C, W)
         xr = xh[3 + t]
         rows.append((xr * (one + g[:c]) + g[c:]).astype(dtype))
-    return jnp.stack(rows, axis=0)
+    out = jnp.stack(rows, axis=0)
+    if want_saved:
+        # block-aligned th rows of each intermediate (global rows
+        # row0+3 .. row0+th+2): seg slab starts at row0+1, actv at row0+2
+        th_ = out.shape[0]
+        return out, seg[2 : th_ + 2], actv[1 : th_ + 1]
+    return out
 
 
 def _stage_kernel(xc_ref, xp_ref, xn_ref, k1_ref, k2_ref, k3_ref, o_ref):

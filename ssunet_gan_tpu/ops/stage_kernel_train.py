@@ -20,11 +20,19 @@ contractions; the stat sums ride a tiny f32 VMEM accumulator across the
 kernels pre-broadcast as (C, W) tiles — elementwise on the slab rows, no
 (C,1) vector broadcasts (Mosaic rejects those layouts, CLAUDE.md).
 
-Backward is a custom VJP that does NOT replay the heavy convolutions: the
-conv transposes come from ``jax.linear_transpose`` (dx and dW of a linear
-conv evaluate only the transposed contraction), and only the cheap
-pointwise/BN-stat/SPADE chains are replayed via ``jax.vjp``.  Gradients are
-therefore exactly the composition's (same transpose rules autodiff uses).
+Backward is a custom VJP that replays NOTHING (v2): the forward kernels
+additionally save y (the post-relu block output) and the SPADE seg/actv
+intermediates, so the backward reconstructs every pointwise/BN chain
+analytically (including the batch-stat terms of the BN gradients) and runs
+every heavy contraction — conv backward-data AND the conv weight-grads —
+through the same rolling-halo Pallas kernels as the forward. Only γ|β are
+recomputed (one cheap nh→2C conv beats storing two more full-width
+tensors). Activations and cotangents stay in the kernels' W-minor
+orientation end to end (``WTensor`` stage boundaries, ops/wminor.py), so
+the NHWC↔W-minor relayouts that made v1 a measured net loss (BASELINE.md
+r3 study: +41.8 ms/step boundary copies, +36.7 ms stranded pointwise)
+disappear from the step. Gradients match the composition's (same transpose
+rules autodiff uses; parity ≤1e-3 rel in f32, tests/test_train_kernel.py).
 
 Running-stat updates stay OUTSIDE this pure function: the stage returns the
 batch (mean, unbiased var) pairs and the flax dispatch writes them through
@@ -47,6 +55,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ssunet_gan_tpu.ops.acts import WTensor
 from ssunet_gan_tpu.ops.spade_kernel import (
     _conv3_rows,
     _interpret,
@@ -55,7 +64,7 @@ from ssunet_gan_tpu.ops.spade_kernel import (
     _zero_outside_image,
     conv_apply,
 )
-from ssunet_gan_tpu.ops.stage_kernel import _VMEM_LIMIT
+from ssunet_gan_tpu.ops.stage_kernel import _VMEM_LIMIT, _wminor_views
 
 BN_EPS = 1e-5
 
@@ -218,15 +227,16 @@ def _make_tail_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                       h_img: int, has_final: bool, dtype):
     def kernel(*refs):
         # operands: f2, [x_p ×P], A2, B2, Ws, K1s, K2s, K3s, [KF],
-        #           out, [scratch_f2, scratch_p ×P]
+        #           (out, y_sav, seg_sav, actv_sav), [scratch_f2, scratch_p ×P]
         f2cur = refs[0]
         xcur = refs[1 : 1 + n_parts]
         a_ref, b_ref, ws_ref = refs[1 + n_parts : 4 + n_parts]
         k1s_ref, k2s_ref, k3s_ref = refs[4 + n_parts : 7 + n_parts]
         kf_ref = refs[7 + n_parts] if has_final else None
-        o_ref = refs[7 + n_parts + int(has_final)]
-        scratch_f2 = refs[8 + n_parts + int(has_final)]
-        scratch = refs[9 + n_parts + int(has_final) :]
+        o_base = 7 + n_parts + int(has_final)
+        o_ref, y_ref, seg_ref, actv_ref = refs[o_base : o_base + 4]
+        scratch_f2 = refs[o_base + 4]
+        scratch = refs[o_base + 5 :]
 
         i = pl.program_id(1)
         f2c = f2cur[:]
@@ -258,7 +268,13 @@ def _make_tail_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
             y = jnp.stack(y_rows, axis=0).astype(dtype)
             y = _zero_outside_image(y, g0, h_img)  # (th+6, C, W)
 
-            out = _spade_tail(y, g0, h_img, k1s_ref, k2s_ref, k3s_ref, dtype)
+            out, seg_sav, actv_sav = _spade_tail(
+                y, g0, h_img, k1s_ref, k2s_ref, k3s_ref, dtype,
+                want_saved=True,
+            )
+            y_ref[:] = y[3 : 3 + th]
+            seg_ref[:] = seg_sav
+            actv_ref[:] = actv_sav
             if not has_final:
                 o_ref[:] = out
             else:
@@ -299,7 +315,11 @@ def _make_tail_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
     return kernel
 
 
-def _tail_call(f2_v, parts_v, A2, B2, Ws, K1s, K2s, K3s, KF=None):
+def _tail_call(f2_v, parts_v, A2, B2, Ws, K1s, K2s, K3s, KF=None,
+               lab: int = 0, nhid: int = 0):
+    """Returns (out_v, y_v, seg_v, actv_v): the stage output plus the
+    post-relu block output and the SPADE seg/actv intermediates the
+    replay-free backward needs (``lab``/``nhid`` = their channel counts)."""
     n, h, c, w = f2_v.shape
     n_parts = len(parts_v)
     part_ch = tuple(p.shape[2] for p in parts_v)
@@ -329,12 +349,18 @@ def _tail_call(f2_v, parts_v, A2, B2, Ws, K1s, K2s, K3s, KF=None):
             + [band_spec(part_ch[p]) for p in range(n_parts)]
             + [const(wt.shape) for wt in weights]
         ),
-        out_specs=pl.BlockSpec(
-            (None, th, c_out, w),
-            lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=tuple(
+            pl.BlockSpec(
+                (None, th, ch, w),
+                lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            for ch in (c_out, c, lab, nhid)
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), dtype),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n, h, ch, w), dtype)
+            for ch in (c_out, c, lab, nhid)
+        ),
         scratch_shapes=(
             [pltpu.VMEM((th + 3, c, w), dtype)]
             + [pltpu.VMEM((th + 3, part_ch[p], w), dtype) for p in range(n_parts)]
@@ -349,15 +375,16 @@ def _tail_call(f2_v, parts_v, A2, B2, Ws, K1s, K2s, K3s, KF=None):
 # ---------------------------------------------------------------------------
 
 
-def _pack_conv(k, parts, bias=None, dtype=jnp.bfloat16):
-    """HWIO 3×3 kernel → (C, 9·ΣCp+1) parts-major tap-major, bias last."""
+def _pack_conv(k, part_ch, bias=None, dtype=jnp.bfloat16):
+    """HWIO 3×3 kernel → (C, 9·ΣCp+1) parts-major tap-major, bias last.
+    ``part_ch``: the per-part input channel counts."""
     c = k.shape[-1]
     offs = [0]
-    for p in parts:
-        offs.append(offs[-1] + p.shape[-1])
+    for cp in part_ch:
+        offs.append(offs[-1] + cp)
     cols = [
-        k[:, :, offs[pi] : offs[pi + 1], :].reshape(9 * parts[pi].shape[-1], c).T
-        for pi in range(len(parts))
+        k[:, :, offs[pi] : offs[pi + 1], :].reshape(9 * part_ch[pi], c).T
+        for pi in range(len(part_ch))
     ]
     b = jnp.zeros((c, 1), k.dtype) if bias is None else bias.reshape(c, 1)
     return jnp.concatenate(cols + [b], axis=1).astype(dtype)
@@ -404,6 +431,12 @@ def fused_train_stage(parts: Tuple, bp: Tuple, sp: Tuple, head):
     """Training-mode fused stage. Returns (out, ((μ₁, uσ₁²), (μ₂, uσ₂²)))
     — the batch stats feed the BNs' running-average updates outside.
 
+    ``parts`` may mix NHWC arrays and W-minor :class:`WTensor`\\ s
+    (ops/wminor.py); the output is a :class:`WTensor` when no head folds
+    (the training graph then stays in the kernels' orientation across the
+    pool/unpool/upsample seams, exactly like the eval path), NHWC logits
+    otherwise.
+
     ``bp`` = (k1, (γ₁, β₁), k2, (γ₂, β₂), ks) raw train params from
     ``BasicBlock.__call__(None, True)``; ``sp`` as the eval kernel;
     ``head`` = optional (kf, bf) final 1×1 conv fold.
@@ -418,14 +451,15 @@ def _train_fwd_impl(parts, bp, sp, head):
     c = k2.shape[-1]
     n, h, w = parts[0].shape[0], parts[0].shape[1], parts[0].shape[2]
     count = n * h * w
+    part_ch = [p.shape[-1] for p in parts]
 
-    parts_v = [jnp.swapaxes(p, 2, 3) for p in parts]
-    K1 = _pack_conv(k1, parts, dtype=dtype)
+    parts_v = _wminor_views(parts)
+    K1 = _pack_conv(k1, part_ch, dtype=dtype)
     f1_v, sums1 = _conv_stats_call(parts_v, K1)
     mean1, var1, uvar1 = _stats_from_sums(sums1, count)
     a1, b1 = _affine(g1, be1, mean1, var1)
 
-    K2 = _pack_conv(k2, [f1_v.swapaxes(2, 3)], dtype=dtype)
+    K2 = _pack_conv(k2, [c], dtype=dtype)
     f2_v, sums2 = _conv_stats_call(
         [f1_v], K2, prologue=(_tile(a1, w), _tile(b1, w))
     )
@@ -433,8 +467,8 @@ def _train_fwd_impl(parts, bp, sp, head):
     a2, b2 = _affine(g2, be2, mean2, var2)
 
     offs = [0]
-    for p in parts:
-        offs.append(offs[-1] + p.shape[-1])
+    for cp in part_ch:
+        offs.append(offs[-1] + cp)
     Ws = jnp.concatenate(
         [ks[0, 0, offs[pi] : offs[pi + 1], :].T for pi in range(len(parts))],
         axis=1,
@@ -447,13 +481,16 @@ def _train_fwd_impl(parts, bp, sp, head):
             [kf[0, 0].T, bf.reshape(kf.shape[-1], 1)], axis=1
         ).astype(dtype)
 
-    out_v = _tail_call(
-        f2_v, parts_v, _tile(a2, w), _tile(b2, w), Ws, K1s, K2s, K3s, KF=KF
+    lab, nhid = sp[0].shape[-1], sp[2].shape[-1]
+    out_v, y_v, seg_v, actv_v = _tail_call(
+        f2_v, parts_v, _tile(a2, w), _tile(b2, w), Ws, K1s, K2s, K3s, KF=KF,
+        lab=lab, nhid=nhid,
     )
-    out = jnp.swapaxes(out_v, 2, 3)
+    out = jnp.swapaxes(out_v, 2, 3) if KF is not None else WTensor(out_v)
     stats = ((mean1, uvar1), (mean2, uvar2))
-    residuals = (f1_v.swapaxes(2, 3), f2_v.swapaxes(2, 3))
-    return out, stats, residuals
+    aux = (f1_v, f2_v, y_v, seg_v, actv_v,
+           (mean1, var1), (mean2, var2))
+    return out, stats, aux
 
 
 # ---------------------------------------------------------------------------
@@ -464,14 +501,16 @@ def _train_fwd_impl(parts, bp, sp, head):
 
 
 def _make_wgrad_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
-                       h_img: int):
+                       h_img: int, has_prologue: bool = False):
     from ssunet_gan_tpu.ops.spade_kernel import _shift_w
 
     def kernel(*refs):
         xcur = refs[:n_parts]
         g_ref = refs[n_parts]
-        o_ref = refs[n_parts + 1]
-        scratch = refs[n_parts + 2 : -1]
+        if has_prologue:
+            a_ref, b_ref = refs[n_parts + 1 : n_parts + 3]
+        o_ref = refs[n_parts + 1 + 2 * int(has_prologue)]
+        scratch = refs[n_parts + 2 + 2 * int(has_prologue) : -1]
         acc_ref = refs[-1]
 
         i = pl.program_id(1)
@@ -488,6 +527,10 @@ def _make_wgrad_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
             xh_parts = []
             for p in range(n_parts):
                 xh = jnp.concatenate([scratch[p][:], cur[p][0:1]], axis=0)
+                if has_prologue:  # relu(x·a+b): conv2's wgrad consumes h1r
+                    xh = jax.nn.relu(
+                        xh.astype(jnp.float32) * a_ref[:] + b_ref[:]
+                    ).astype(xh.dtype)
                 xh_parts.append(_zero_outside_image(xh, g0, h_img))
             gband = g_ref[:]  # (th, C, W), all rows in-image
             for t in range(th):
@@ -537,14 +580,45 @@ def _conv3_wgrad(x_parts, g, w_dtype=jnp.float32):
         # XLA fallback: transpose the linear map in the weight argument
         k0 = jnp.zeros((3, 3, csum, c), w_dtype)
         return jax.linear_transpose(lambda k: _conv3(list(x_parts), k), k0)(g)[0]
+    return _wgrad_w(
+        [jnp.swapaxes(p, 2, 3) for p in x_parts], jnp.swapaxes(g, 2, 3),
+        w_dtype,
+    )
 
-    parts_v = [jnp.swapaxes(p, 2, 3) for p in x_parts]
-    g_v = jnp.swapaxes(g, 2, 3)
+
+def _wgrad_w(parts_v, g_v, w_dtype=jnp.float32, prologue=None):
+    """W-minor-native weight grad: dW (HWIO) of
+    ``g = conv3(concat(parts), W)`` given (N, H, Cp, W) views. ``prologue``
+    = optional (A, B) (Cin, W) f32 tiles: the conv's input was
+    ``relu(x·A+B)`` (conv2's h1r), recomputed in-kernel from the raw x.
+    Falls back to XLA (via the NHWC linear-transpose) off the support
+    envelope."""
+    csum = sum(p.shape[2] for p in parts_v)
+    c = g_v.shape[2]
     n, h, _, w = parts_v[0].shape
+    min_w = 8 if _interpret() else 128
+    if not (h % 8 == 0 and h >= 8 and w >= min_w and c <= 256
+            and 9 * csum <= 4608):
+        x_parts = [jnp.swapaxes(p, 2, 3) for p in parts_v]
+        if prologue is not None:
+            a, b = prologue
+            x_parts = [
+                jax.nn.relu(
+                    x_parts[0].astype(jnp.float32)
+                    * a[:, 0][None, None, None]
+                    + b[:, 0][None, None, None]
+                ).astype(x_parts[0].dtype)
+            ]
+        g = jnp.swapaxes(g_v, 2, 3)
+        k0 = jnp.zeros((3, 3, csum, c), w_dtype)
+        return jax.linear_transpose(lambda k: _conv3(list(x_parts), k), k0)(g)[0]
+
     part_ch = tuple(p.shape[2] for p in parts_v)
     th = 8
     nh = h // th
     dtype = parts_v[0].dtype
+    if prologue is not None:
+        assert len(parts_v) == 1, "prologue supports a single input"
 
     def cur_spec(ch):
         return pl.BlockSpec(
@@ -554,10 +628,11 @@ def _conv3_wgrad(x_parts, g, w_dtype=jnp.float32):
         )
 
     out = pl.pallas_call(
-        _make_wgrad_kernel(len(x_parts), th, c, w, part_ch, h),
+        _make_wgrad_kernel(len(parts_v), th, c, w, part_ch, h,
+                           has_prologue=prologue is not None),
         grid=(n, nh + 1),
         in_specs=(
-            [cur_spec(part_ch[p]) for p in range(len(x_parts))]
+            [cur_spec(part_ch[p]) for p in range(len(parts_v))]
             + [
                 pl.BlockSpec(
                     (None, th, c, w),
@@ -565,6 +640,17 @@ def _conv3_wgrad(x_parts, g, w_dtype=jnp.float32):
                     memory_space=pltpu.VMEM,
                 )
             ]
+            + (
+                []
+                if prologue is None
+                else [
+                    pl.BlockSpec(
+                        wt.shape, lambda ni, hi: (0, 0),
+                        memory_space=pltpu.VMEM,
+                    )
+                    for wt in prologue
+                ]
+            )
         ),
         out_specs=pl.BlockSpec(
             (c, 9 * sum(part_ch)), lambda ni, hi: (0, 0),
@@ -572,12 +658,12 @@ def _conv3_wgrad(x_parts, g, w_dtype=jnp.float32):
         ),
         out_shape=jax.ShapeDtypeStruct((c, 9 * sum(part_ch)), jnp.float32),
         scratch_shapes=(
-            [pltpu.VMEM((th + 1, part_ch[p], w), dtype) for p in range(len(x_parts))]
+            [pltpu.VMEM((th + 1, part_ch[p], w), dtype) for p in range(len(parts_v))]
             + [pltpu.VMEM((c, 9 * sum(part_ch)), jnp.float32)]
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(*parts_v, g_v)
+    )(*parts_v, g_v, *(() if prologue is None else tuple(prologue)))
 
     # unpack (C, parts-major tap-major cols) → HWIO (3, 3, ΣCp, C)
     blocks = []
@@ -592,24 +678,23 @@ def _conv3_wgrad(x_parts, g, w_dtype=jnp.float32):
 # ---- backward: linear_transpose for the convs, vjp for the cheap chains ---
 
 
-def _convT_supported(g: jax.Array) -> bool:
-    """Gate for running a conv-transpose through the Pallas conv kernel."""
-    h, w, c = g.shape[1], g.shape[2], g.shape[3]
-    min_w = 8 if _interpret() else 128
-    return h % 8 == 0 and h >= 8 and w >= min_w and c <= 256
-
-
-def _convT(g: jax.Array, k: jax.Array) -> jax.Array:
-    """dx of ``y = conv3(x, k)`` (pad 1, stride 1): a 3×3 conv of the
-    cotangent with the 180°-rotated, I/O-swapped kernel — so the backward
-    data pass rides the SAME rolling-halo MXU kernel as the forward."""
+def _convT_w(g_v: jax.Array, k: jax.Array) -> jax.Array:
+    """W-minor dx of ``y = conv3(x, k)`` (pad 1, stride 1): a 3×3 conv of
+    the (N, H, Cout, W) cotangent with the 180°-rotated, I/O-swapped kernel
+    — the backward data pass rides the SAME rolling-halo MXU kernel as the
+    forward. XLA (NHWC) fallback off the support envelope."""
     kT = jnp.flip(k, axis=(0, 1)).transpose(0, 1, 3, 2)
-    if not _convT_supported(g) or kT.shape[-1] > 512:
-        return conv_apply(g, kT, jnp.zeros((kT.shape[-1],), kT.dtype), 1)
-    gv = jnp.swapaxes(g, 2, 3)
-    Kp = _pack_conv(kT, [g], dtype=g.dtype)
-    out_v, _ = _conv_stats_call([gv], Kp)
-    return jnp.swapaxes(out_v, 2, 3)
+    n, h, cg, w = g_v.shape
+    min_w = 8 if _interpret() else 128
+    ok = (h % 8 == 0 and h >= 8 and w >= min_w and cg <= 512
+          and kT.shape[-1] <= 512)
+    if not ok:
+        g = jnp.swapaxes(g_v, 2, 3)
+        out = conv_apply(g, kT, jnp.zeros((kT.shape[-1],), kT.dtype), 1)
+        return jnp.swapaxes(out, 2, 3)
+    Kp = _pack_conv(kT, [cg], dtype=g_v.dtype)
+    out_v, _ = _conv_stats_call([g_v], Kp)
+    return out_v
 
 
 def _conv3(x_parts, k):
@@ -657,61 +742,167 @@ def _xla_train_stage(parts, bp, sp, head):
 
 
 def _train_fwd_rule(parts, bp, sp, head):
-    out, stats, (f1, f2) = _train_fwd_impl(parts, bp, sp, head)
-    return (out, stats), (parts, bp, sp, head, f1, f2)
+    out, stats, aux = _train_fwd_impl(parts, bp, sp, head)
+    return (out, stats), (parts, bp, sp, head, aux)
+
+
+def _cvec(v):
+    """(C,) f32 vector → broadcastable over a W-minor (N, H, C, W) tensor."""
+    return v[None, None, :, None]
 
 
 def _train_bwd_rule(res, cts):
-    parts, bp, sp, head, f1, f2 = res
-    g_out = cts[0]  # stats cotangents are zero (running-average side channel)
+    """Replay-free analytic backward.
+
+    Every heavy contraction (conv backward-data, conv weight-grads) rides
+    the same rolling-halo Pallas kernels as the forward; the pointwise/BN
+    chains are reconstructed analytically from the residuals the forward
+    kernels SAVED (f1, f2, y, seg, actv — all W-minor), so nothing of the
+    forward is recomputed except γ|β (one cheap nh→2C conv — cheaper than
+    storing two more full-width tensors). Gradients match the composition's
+    (same transpose rules autodiff applies; BN backward includes the
+    batch-stat terms). All cotangents stay W-minor end to end.
+    """
+    parts, bp, sp, head, aux = res
+    f1_v, f2_v, y_v, seg_v, actv_v, (mean1, var1), (mean2, var2) = aux
     k1, (g1, be1), k2, (g2, be2), ks = bp
+    k1s, b1s, k2s, b2s, kgs, bgs, kbs, bbs = sp
+    g_out = cts[0]  # stats cotangents are zero (running-average side channel)
+    g_out_v = g_out.v if isinstance(g_out, WTensor) else jnp.swapaxes(g_out, 2, 3)
 
-    # --- tail chain: bn2(batch stats) + shortcut + relu + SPADE (+head) ---
-    def tail_fn(f2, parts, g2, be2, ks, sp, head):
-        xf2 = f2.astype(jnp.float32)
-        mean2 = jnp.mean(xf2, axis=(0, 1, 2))
-        var2 = jnp.mean(jnp.square(xf2 - mean2), axis=(0, 1, 2))
-        ynorm = (xf2 - mean2) * jax.lax.rsqrt(var2 + BN_EPS) * g2 + be2
-        xcat = (
-            parts[0] if len(parts) == 1 else jnp.concatenate(list(parts), axis=-1)
+    dtype = f1_v.dtype
+    c = k2.shape[-1]
+    n, hh, _, w = f1_v.shape
+    count = n * hh * w
+    part_ch = [p.shape[-1] for p in parts]
+    csum = sum(part_ch)
+    parts_v = _wminor_views(parts)
+    nhid = k2s.shape[-1]
+
+    # --- γ|β recompute (one packed nh→2C conv; the kernels saved actv) ---
+    k_gb = jnp.concatenate([kgs, kbs], axis=-1)  # (3, 3, nh, 2C)
+    b_gb = jnp.concatenate([bgs, bbs])
+    K_gb = _pack_conv(k_gb, [nhid], bias=b_gb, dtype=dtype)
+    gb_v, _ = _conv_stats_call([actv_v], K_gb)  # (N, H, 2C, W) in dtype
+    gamma_v, beta_v = gb_v[:, :, :c], gb_v[:, :, c:]
+
+    # --- folded head: out = kf·out0 + bf ---
+    if head is not None:
+        kf, bf = head
+        one = jnp.ones((), dtype)
+        out0_v = (y_v * (one + gamma_v) + beta_v).astype(dtype)
+        g_kf = (
+            jnp.einsum(
+                "nhfw,nhcw->cf",
+                g_out_v.astype(jnp.float32),
+                out0_v.astype(jnp.float32),
+            )
+            .reshape(1, 1, c, kf.shape[-1])
+            .astype(kf.dtype)
         )
-        shortcut = conv_apply(xcat, ks, jnp.zeros((ks.shape[-1],), ks.dtype), 0)
-        y = jax.nn.relu(ynorm.astype(f2.dtype) + shortcut)
-        out = _xla_self_spade(y, *sp)
-        if head is not None:
-            kf, bf = head
-            out = conv_apply(out, kf, bf, 0)
-        return out
+        g_bf = jnp.sum(g_out_v.astype(jnp.float32), axis=(0, 1, 3)).astype(bf.dtype)
+        g_out0 = jnp.einsum(
+            "cf,nhfw->nhcw", kf[0, 0].astype(dtype), g_out_v
+        ).astype(dtype)
+        g_head = (g_kf, g_bf)
+    else:
+        g_out0 = g_out_v
+        g_head = None
 
-    _, tail_vjp = jax.vjp(tail_fn, f2, tuple(parts), g2, be2, ks, sp, head)
-    g_f2, g_parts_a, g_g2, g_be2, g_ks, g_sp, g_head = tail_vjp(g_out)
+    # --- SPADE modulate: out0 = y·(1+γ) + β ---
+    g_f32 = g_out0.astype(jnp.float32)
+    g_y = g_f32 * (1.0 + gamma_v.astype(jnp.float32))
+    g_gamma = (g_f32 * y_v.astype(jnp.float32)).astype(dtype)
+    g_beta = g_out0
 
-    # --- conv2: backward-data AND weight grad through rolling-halo Pallas
-    # kernels (no forward replay either way) ---
-    h1r_fn = lambda f1: _bn_relu(f1, g1, be1)
-    h1r, h1r_vjp = jax.vjp(h1r_fn, f1)
-    g_h1r = _convT(g_f2, k2)
-    g_k2 = _conv3_wgrad([h1r], g_f2, k2.dtype)
-    # bn1 params: replay the cheap pointwise chain for their grads
-    _, bn1_vjp = jax.vjp(lambda g, b: _bn_relu(f1, g, b), g1, be1)
-    g_g1, g_be1 = bn1_vjp(g_h1r)
-    (g_f1,) = h1r_vjp(g_h1r)
+    # --- γ|β convs: one packed convT to actv + one packed wgrad ---
+    g_gb_v = jnp.concatenate([g_gamma, g_beta.astype(dtype)], axis=2)
+    g_actv = _convT_w(g_gb_v, k_gb)  # (N, H, nh, W)
+    g_kgb = _wgrad_w([actv_v], g_gb_v, k_gb.dtype)  # (3, 3, nh, 2C)
+    g_kg, g_kb = g_kgb[..., :c], g_kgb[..., c:]
+    g_bg = jnp.sum(g_gamma.astype(jnp.float32), axis=(0, 1, 3)).astype(bgs.dtype)
+    g_bb = jnp.sum(g_beta.astype(jnp.float32), axis=(0, 1, 3)).astype(bbs.dtype)
 
-    # --- conv1: same split ---
-    g_xcat = _convT(g_f1, k1)
-    offs = [0]
-    for p in parts:
-        offs.append(offs[-1] + p.shape[-1])
-    g_parts_b = tuple(
-        g_xcat[..., offs[i] : offs[i + 1]] for i in range(len(parts))
+    # --- mlp_shared relu + conv (actv = relu(conv(seg))) ---
+    g_pre2s = jnp.where(actv_v > 0, g_actv, 0).astype(dtype)
+    g_seg = _convT_w(g_pre2s, k2s)  # (N, H, lab, W)
+    g_k2s = _wgrad_w([seg_v], g_pre2s, k2s.dtype)
+    g_b2s = jnp.sum(g_pre2s.astype(jnp.float32), axis=(0, 1, 3)).astype(b2s.dtype)
+
+    # --- x2map conv (seg = conv(y)) ---
+    g_seg_d = g_seg.astype(dtype)
+    g_y = g_y + _convT_w(g_seg_d, k1s).astype(jnp.float32)
+    g_k1s = _wgrad_w([y_v], g_seg_d, k1s.dtype)
+    g_b1s = jnp.sum(g_seg_d.astype(jnp.float32), axis=(0, 1, 3)).astype(b1s.dtype)
+
+    # --- block relu: y = relu(ynorm + shortcut) ---
+    g_pre = jnp.where(y_v > 0, g_y, 0.0)  # f32
+
+    # --- shortcut (1×1): W-minor einsums ---
+    g_pre_d = g_pre.astype(dtype)
+    xcat_v = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(parts_v, axis=2)
+    g_xcat_sc = jnp.einsum(
+        "ic,nhcw->nhiw", ks[0, 0].astype(dtype), g_pre_d
+    ).astype(jnp.float32)
+    g_ks = (
+        jnp.einsum(
+            "nhcw,nhiw->ic",
+            g_pre_d.astype(jnp.float32),
+            xcat_v.astype(jnp.float32),
+        )
+        .reshape(1, 1, csum, c)
+        .astype(ks.dtype)
     )
-    g_k1 = _conv3_wgrad(list(parts), g_f1, k1.dtype)
 
-    g_parts = tuple(
-        a + b for a, b in zip(g_parts_a, g_parts_b)
-    )
+    # --- bn2 (batch stats; gradient includes the μ/σ terms) ---
+    r2 = jax.lax.rsqrt(var2 + BN_EPS)
+    xhat2 = (f2_v.astype(jnp.float32) - _cvec(mean2)) * _cvec(r2)
+    s_g2 = jnp.sum(g_pre, axis=(0, 1, 3))
+    s_gx2 = jnp.sum(g_pre * xhat2, axis=(0, 1, 3))
+    g_g2 = s_gx2.astype(g2.dtype)
+    g_be2 = s_g2.astype(be2.dtype)
+    g_f2 = (
+        _cvec(g2 * r2)
+        * (g_pre - _cvec(s_g2) / count - xhat2 * (_cvec(s_gx2) / count))
+    ).astype(dtype)
+
+    # --- conv2: backward-data + weight grad (h1r recomputed in-kernel) ---
+    a1, b1 = _affine(g1, be1, mean1, var1)
+    g_h1r = _convT_w(g_f2, k2)
+    g_k2 = _wgrad_w([f1_v], g_f2, k2.dtype,
+                    prologue=(_tile(a1, w), _tile(b1, w)))
+
+    # --- bn1 + relu (h1r = relu(bn1(f1))) ---
+    r1 = jax.lax.rsqrt(var1 + BN_EPS)
+    xhat1 = (f1_v.astype(jnp.float32) - _cvec(mean1)) * _cvec(r1)
+    pre1 = xhat1 * _cvec(g1) + _cvec(be1)
+    g_n1 = jnp.where(pre1 > 0, g_h1r.astype(jnp.float32), 0.0)
+    s_g1 = jnp.sum(g_n1, axis=(0, 1, 3))
+    s_gx1 = jnp.sum(g_n1 * xhat1, axis=(0, 1, 3))
+    g_g1 = s_gx1.astype(g1.dtype)
+    g_be1 = s_g1.astype(be1.dtype)
+    g_f1 = (
+        _cvec(g1 * r1)
+        * (g_n1 - _cvec(s_g1) / count - xhat1 * (_cvec(s_gx1) / count))
+    ).astype(dtype)
+
+    # --- conv1: backward-data + weight grad ---
+    g_xcat1 = _convT_w(g_f1, k1)  # (N, H, ΣCp, W)
+    g_k1 = _wgrad_w(parts_v, g_f1, k1.dtype)
+
+    # --- combine the two input-gradient paths, restore each part's form ---
+    g_xcat = g_xcat_sc + g_xcat1.astype(jnp.float32)
+    g_parts = []
+    off = 0
+    for p, cp in zip(parts, part_ch):
+        gv = g_xcat[:, :, off : off + cp].astype(p.dtype)
+        g_parts.append(
+            WTensor(gv) if isinstance(p, WTensor) else jnp.swapaxes(gv, 2, 3)
+        )
+        off += cp
     g_bp = (g_k1, (g_g1, g_be1), g_k2, (g_g2, g_be2), g_ks)
-    return g_parts, g_bp, g_sp, g_head
+    g_sp = (g_k1s, g_b1s, g_k2s, g_b2s, g_kg, g_bg, g_kb, g_bb)
+    return tuple(g_parts), g_bp, g_sp, g_head
 
 
 fused_train_stage.defvjp(_train_fwd_rule, _train_bwd_rule)

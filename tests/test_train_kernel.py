@@ -51,11 +51,13 @@ def _train_bundles(planes, label, shapes, nh, rng):
     ],
 )
 def test_train_stage_forward_and_stats_parity(rng, planes, label, shapes, nh):
+    from ssunet_gan_tpu.ops.wminor import to_nhwc
+
     bp, sp, parts = _train_bundles(planes, label, shapes, nh, rng)
     out, stats = fused_train_stage(parts, bp, sp, None)
     want_out, want_stats = _xla_train_stage(parts, bp, sp, None)
     np.testing.assert_allclose(
-        np.asarray(out), np.asarray(want_out), rtol=2e-3, atol=2e-3
+        np.asarray(to_nhwc(out)), np.asarray(want_out), rtol=2e-3, atol=2e-3
     )
     for (m, v), (wm, wv) in zip(stats, want_stats):
         np.testing.assert_allclose(np.asarray(m), np.asarray(wm), atol=1e-4)
@@ -63,16 +65,44 @@ def test_train_stage_forward_and_stats_parity(rng, planes, label, shapes, nh):
                                    atol=1e-4)
 
 
-def test_train_stage_gradient_parity(rng):
+def test_train_stage_wminor_parts_roundtrip(rng):
+    """WTensor parts in → WTensor out, same math as NHWC parts."""
+    from ssunet_gan_tpu.ops.acts import WTensor
+    from ssunet_gan_tpu.ops.wminor import to_nhwc
+
+    bp, sp, parts = _train_bundles(16, 3, [(1, 16, 16, 8), (1, 16, 16, 16)],
+                                   4.0, rng)
+    out_ref, stats_ref = fused_train_stage(parts, bp, sp, None)
+    wparts = tuple(WTensor(jnp.swapaxes(p, 2, 3)) for p in parts)
+    out, stats = fused_train_stage(wparts, bp, sp, None)
+    assert isinstance(out, WTensor)
+    np.testing.assert_allclose(
+        np.asarray(to_nhwc(out)), np.asarray(to_nhwc(out_ref)), rtol=0, atol=0
+    )
+    for (m, v), (wm, wv) in zip(stats, stats_ref):
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(wm))
+
+
+@pytest.mark.parametrize(
+    "planes,label,shapes,nh",
+    [
+        (16, 3, [(1, 16, 16, 8)], 4.0),
+        (16, 3, [(1, 16, 16, 8), (1, 16, 16, 16)], 4.0),  # split-concat
+    ],
+)
+def test_train_stage_gradient_parity(rng, planes, label, shapes, nh):
     """Grads of the fused stage vs the XLA composition, f32, ≤1e-3 rel."""
-    bp, sp, parts = _train_bundles(16, 3, [(1, 16, 16, 8)], 4.0, rng)
+    from ssunet_gan_tpu.ops.wminor import to_nhwc
+
+    bp, sp, parts = _train_bundles(planes, label, shapes, nh, rng)
     cot = jnp.asarray(
-        rng.normal(size=(1, 16, 16, 16)).astype(np.float32)
+        rng.normal(size=(shapes[0][0], shapes[0][1], shapes[0][2], planes))
+        .astype(np.float32)
     )
 
     def loss_fused(parts, bp, sp):
         out, _ = fused_train_stage(parts, bp, sp, None)
-        return jnp.sum(out * cot)
+        return jnp.sum(to_nhwc(out) * cot)
 
     def loss_ref(parts, bp, sp):
         out, _ = _xla_train_stage(parts, bp, sp, None)
@@ -88,6 +118,36 @@ def test_train_stage_gradient_parity(rng):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
         denom = np.abs(b).max() + 1e-6
         rel = np.abs(a - b).max() / denom
+        assert rel < 1e-3, rel
+
+
+def test_train_stage_gradient_parity_folded_head(rng):
+    """Grad parity with the final 1×1 head folded (analytic head backward
+    + γ/β recompute path)."""
+    bp, sp, parts = _train_bundles(16, 3, [(1, 16, 16, 8)], 4.0, rng)
+    ncls = 3
+    kf = jnp.asarray(rng.normal(size=(1, 1, 16, ncls)).astype(np.float32))
+    bf = jnp.asarray(rng.normal(size=(ncls,)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(1, 16, 16, ncls)).astype(np.float32))
+
+    def loss(fn):
+        def run(parts, bp, sp, head):
+            out, _ = fn(parts, bp, sp, head)
+            return jnp.sum(out * cot)
+        return run
+
+    g_fused = jax.grad(loss(fused_train_stage), argnums=(0, 1, 2, 3))(
+        parts, bp, sp, (kf, bf)
+    )
+    g_ref = jax.grad(loss(_xla_train_stage), argnums=(0, 1, 2, 3))(
+        parts, bp, sp, (kf, bf)
+    )
+    flat_f = jax.tree_util.tree_leaves(g_fused)
+    flat_r = jax.tree_util.tree_leaves(g_ref)
+    assert len(flat_f) == len(flat_r)
+    for a, b in zip(flat_f, flat_r):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.abs(a - b).max() / (np.abs(b).max() + 1e-6)
         assert rel < 1e-3, rel
 
 

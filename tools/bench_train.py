@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Flagship supervised train-step throughput (real TPU).
+
+Measures the b=8 bf16 @512² train step (the BASELINE.md "Training" config)
+under the XLA composition and/or the fused train kernels. Wall clock is
+synced per step (honest through the axon relay for 100+ ms steps); pass
+``--trace DIR`` to also capture an xprof trace of the timed section (device
+self-time is the number of record — CLAUDE.md: the relay under-reports
+chained dispatch).
+
+Usage: python tools/bench_train.py [--modes xla,fused] [--steps 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--modes", default="xla,fused")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--steps", type=int, default=10)
+    ap.add_argument("--trace", default="")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ssunet_gan_tpu.models import build_model
+    from ssunet_gan_tpu.ops.losses import bce_dice_loss
+    from ssunet_gan_tpu.ops.stage_kernel_train import set_fused_train
+    from ssunet_gan_tpu.train.optim import build_optimizer
+    from ssunet_gan_tpu.train.state import TrainState
+    from ssunet_gan_tpu.train.step import make_train_step
+    from ssunet_gan_tpu.utils import jit_init
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.normal(size=(args.batch, args.size, args.size, 3)), dtype
+    )
+    y = jnp.asarray(
+        (rng.random((args.batch, args.size, args.size, 3)) > 0.5), jnp.float32
+    )
+    tx = build_optimizer({"optimizer": "Adam", "lr": 1e-4, "weight_decay": 1e-7})
+
+    def run(label, fused):
+        set_fused_train(fused)
+        variables = jit_init(model, jax.random.PRNGKey(0), x, train=True)
+        state = TrainState.create(variables, tx)
+        step = jax.jit(make_train_step(model, bce_dice_loss, tx, 3, clip=0.8))
+        lr = jnp.float32(1e-4)
+        state, metrics = step(state, (x, y), lr)  # compile + warm
+        jax.block_until_ready(metrics["loss"])
+
+        def timed_steps(s):
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                s, m = step(s, (x, y), lr)
+                jax.block_until_ready(m["loss"])  # synced per step
+            return s, time.perf_counter() - t0
+
+        if args.trace:
+            tdir = os.path.join(args.trace, label)
+            with jax.profiler.trace(tdir):
+                state, dt = timed_steps(state)
+        else:
+            state, dt = timed_steps(state)
+        ms = 1e3 * dt / args.steps
+        print(json.dumps({
+            "mode": label, "ms_per_step": round(ms, 1),
+            "img_per_sec": round(args.batch / (dt / args.steps), 2),
+            "loss": round(float(metrics["loss"]), 4),
+        }), flush=True)
+        set_fused_train(None)
+
+    modes = args.modes.split(",")
+    if "xla" in modes:
+        run("xla", False)
+    if "fused" in modes:
+        run("fused", True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
