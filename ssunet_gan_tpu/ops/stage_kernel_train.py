@@ -69,18 +69,19 @@ from ssunet_gan_tpu.ops.stage_kernel import _VMEM_LIMIT, _wminor_views
 BN_EPS = 1e-5
 
 # ---------------------------------------------------------------------------
-# Mode toggle: OPT-IN (default OFF). MEASURED NEGATIVE end-to-end on v5e
-# (r3 device trace, flagship b=8 @512² bf16): 250.4 ms/step fused vs the
-# XLA composition's 202.8 ms. The kernels do cut the conv compute itself
-# (conv+custom-call 143 ms vs XLA's 174.8 ms of conv fusions), but the
-# 3-program-per-stage structure adds W-minor boundary relayouts in both
-# directions (data formatting 6.9 → 48.7 ms) and strands the BN/ReLU
-# pointwise chains outside the conv fusions XLA would otherwise bury them
-# in (loop fusion 14.5 → 51.3 ms). Recovering the win needs a single-
-# program whole-stage train kernel (phase-gridded two-pass stats) — future
-# work; until then the XLA composition is the right default. Gradient
-# parity tests keep the opt-in sound. Multi-chip DP must stay on the
-# composition path regardless (cross-device BN stats).
+# Mode toggle. Default ON for single-chip TPU: the v2 design (W-minor stage
+# boundaries + replay-free analytic backward) MEASURED a 19% device-time win
+# on v5e (r3 device trace, flagship b=8 @512² bf16): 163.6 ms/step fused vs
+# the XLA composition's 201.8 ms (48.9 vs 39.6 img/s). v1's two regressions
+# are gone — boundary relayouts (data formatting 48.7 → 10.4 ms, activations
+# cross pool/unpool seams in kernel orientation) and forward replays in the
+# VJP (the tail kernel saves y + SPADE intermediates; every pointwise/BN
+# chain is reconstructed analytically). Remaining headroom: 47.5 ms of
+# backward pointwise loop fusions and 29.6 ms of unfused XLA convs (deep
+# levels + heads). Gradient parity ≤1e-3 rel f32 (tests/test_train_kernel.py).
+# Multi-chip DP stays on the composition path (cross-device BN stats: under
+# a mesh the composition's jnp.mean IS SyncBN; the kernel's in-VMEM stats
+# would be per-shard), hence the device_count gate below.
 # ---------------------------------------------------------------------------
 
 _FUSED_TRAIN: Optional[bool] = None
@@ -93,7 +94,7 @@ def set_fused_train(enabled: Optional[bool]) -> None:
 
 def fused_train_enabled() -> bool:
     if _FUSED_TRAIN is None:
-        return False
+        return jax.default_backend() == "tpu" and jax.device_count() == 1
     return bool(_FUSED_TRAIN)
 
 
