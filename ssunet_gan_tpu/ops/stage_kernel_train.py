@@ -48,6 +48,7 @@ accelerates), archs.py:205-241, normalization.py:94-120.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -96,6 +97,26 @@ def fused_train_enabled() -> bool:
     if _FUSED_TRAIN is None:
         return jax.default_backend() == "tpu" and jax.device_count() == 1
     return bool(_FUSED_TRAIN)
+
+
+# Band height for the train kernels' rolling-halo grids, env/API-tunable
+# (SSUNET_GAN_TPU_TRAIN_TH / set_train_band_th). r3 device-trace sweep on
+# the flagship b=8 bf16 step: th=8 163.6 ms/step, th=16 158.9 (custom-call
+# 72.2 → 67.4 ms), th=32 159.4 (flat — the train kernels' extra VMEM
+# liveness caps the win earlier than eval's ≤32 sweep). Default 16.
+_TRAIN_TH = int(os.environ.get("SSUNET_GAN_TPU_TRAIN_TH", "16"))
+
+
+def set_train_band_th(th: int) -> None:
+    global _TRAIN_TH
+    _TRAIN_TH = int(th)
+
+
+def _pick_train_th(h: int) -> int:
+    t = min(_TRAIN_TH, max(h, 8))
+    while t > 8 and h % t:
+        t //= 2
+    return t
 
 
 # ---------------------------------------------------------------------------
@@ -170,7 +191,7 @@ def _conv_stats_call(parts_v, Kp, prologue=None):
     c = Kp.shape[0]
     n_parts = len(parts_v)
     part_ch = tuple(p.shape[2] for p in parts_v)
-    th = 8
+    th = _pick_train_th(h)
     nh = h // th
     grid = (n, nh + 1)
     dtype = parts_v[0].dtype
@@ -324,7 +345,7 @@ def _tail_call(f2_v, parts_v, A2, B2, Ws, K1s, K2s, K3s, KF=None,
     n, h, c, w = f2_v.shape
     n_parts = len(parts_v)
     part_ch = tuple(p.shape[2] for p in parts_v)
-    th = 8
+    th = _pick_train_th(h)
     nh = h // th
     grid = (n, nh + 1)
     dtype = f2_v.dtype
@@ -615,7 +636,7 @@ def _wgrad_w(parts_v, g_v, w_dtype=jnp.float32, prologue=None):
         return jax.linear_transpose(lambda k: _conv3(list(x_parts), k), k0)(g)[0]
 
     part_ch = tuple(p.shape[2] for p in parts_v)
-    th = 8
+    th = _pick_train_th(h)
     nh = h // th
     dtype = parts_v[0].dtype
     if prologue is not None:
