@@ -119,6 +119,18 @@ def _pick_train_th(h: int) -> int:
     return t
 
 
+# v3 backward (ops/train_bwd.py): the pointwise/BN chains run INSIDE the
+# backward-data/weight-grad kernels as prologues/epilogues instead of as XLA
+# loop fusions over full-width f32 tensors (47.5 ms/step in the r3 v2
+# profile). Same math/rounding points; env/API-toggleable for A/B sweeps.
+_TRAIN_BWD_V3 = os.environ.get("SSUNET_GAN_TPU_TRAIN_BWD", "v3") != "v2"
+
+
+def set_train_bwd_v3(enabled: bool) -> None:
+    global _TRAIN_BWD_V3
+    _TRAIN_BWD_V3 = bool(enabled)
+
+
 # ---------------------------------------------------------------------------
 # K1/K2: rolling-halo conv3 with channel-sum epilogue (and optional
 # affine+relu prologue for K2).
@@ -786,6 +798,11 @@ def _train_bwd_rule(res, cts):
     batch-stat terms). All cotangents stay W-minor end to end.
     """
     parts, bp, sp, head, aux = res
+    if _TRAIN_BWD_V3:
+        from ssunet_gan_tpu.ops.train_bwd import bwd_v3_supported, train_bwd_v3
+
+        if bwd_v3_supported(aux, [p.shape[-1] for p in parts]):
+            return train_bwd_v3(res, cts)
     f1_v, f2_v, y_v, seg_v, actv_v, (mean1, var1), (mean2, var2) = aux
     k1, (g1, be1), k2, (g2, be2), ks = bp
     k1s, b1s, k2s, b2s, kgs, bgs, kbs, bbs = sp
