@@ -57,25 +57,31 @@ from ssunet_gan_tpu.ops.stage_kernel import _VMEM_LIMIT
 
 
 def _make_fused_kernel(n_pro: int, n_epi: int, n_const: int, th: int,
-                       h_img: int, pro_fn, epi_fn, n_stats: int, dtype):
+                       h_img: int, pro_fn, epi_fn, n_stats: int, dtype,
+                       out_chs=None):
     """Kernel: out = epi(conv3(zero_pad(pro(halo_slabs)), K), epi_bands).
 
     Operand order: [pro ×n_pro], [epi ×n_epi], K, [const ×n_const],
-    out, [stats], [scratch ×n_pro], [acc].
+    [out ×n_out], [stats], [scratch ×n_pro], [acc]. ``out_chs`` (len > 1)
+    splits the epilogue band channel-wise over several outputs (e.g. the
+    input gradient of a split-concat conv emitted per part — no XLA
+    slices, and each part grad keeps its consumer's natural operand).
     """
+    n_out = 1 if out_chs is None else len(out_chs)
 
     def kernel(*refs):
         pro = refs[:n_pro]
         epi = refs[n_pro : n_pro + n_epi]
         k_ref = refs[n_pro + n_epi]
         consts = refs[n_pro + n_epi + 1 : n_pro + n_epi + 1 + n_const]
-        o_ref = refs[n_pro + n_epi + 1 + n_const]
+        base = n_pro + n_epi + 1 + n_const
+        o_refs = refs[base : base + n_out]
         if n_stats:
-            s_ref = refs[n_pro + n_epi + 2 + n_const]
-            scratch = refs[n_pro + n_epi + 3 + n_const : -1]
+            s_ref = refs[base + n_out]
+            scratch = refs[base + n_out + 1 : -1]
             acc_ref = refs[-1]
         else:
-            scratch = refs[n_pro + n_epi + 2 + n_const :]
+            scratch = refs[base + n_out :]
 
         i = pl.program_id(1)
         ni = pl.program_id(0)
@@ -103,7 +109,15 @@ def _make_fused_kernel(n_pro: int, n_epi: int, n_const: int, th: int,
                 out = out.astype(dtype)
             else:
                 out, stats = epi_fn(out, [e[:] for e in epi], cvals)
-            o_ref[:] = out.astype(o_ref.dtype)
+            if n_out == 1:
+                o_refs[0][:] = out.astype(o_refs[0].dtype)
+            else:
+                off = 0
+                for k, ch in enumerate(out_chs):
+                    o_refs[k][:] = out[:, off : off + ch].astype(
+                        o_refs[k].dtype
+                    )
+                    off += ch
             if n_stats:
                 for j, sv in enumerate(stats):
                     acc_ref[j] = acc_ref[j] + sv
@@ -149,7 +163,8 @@ def fused_conv3_call(
     AFTER the chain, exactly like the XLA composition). ``epi_bands`` are
     output-aligned (no halo). ``epi_fn(out_f32, epi_slabs, consts) ->
     (band, stat_vecs)`` with stats as (c_stat,) f32 vectors summed across
-    the grid. Returns (out, stats|None).
+    the grid. ``out_ch`` may be a tuple: the band splits channel-wise over
+    several outputs (returned as a tuple). Returns (out, stats|None).
     """
     n, h, _, w = pro_bands[0].shape
     dtype = Kp.dtype
@@ -157,6 +172,8 @@ def fused_conv3_call(
     grid = (n, nh + 1)
     pro_ch = tuple(p.shape[2] for p in pro_bands)
     epi_ch = tuple(e.shape[2] for e in epi_bands)
+    out_chs = (out_ch,) if isinstance(out_ch, int) else tuple(out_ch)
+    split_out = not isinstance(out_ch, int)
 
     def pro_spec(ch):
         return pl.BlockSpec(
@@ -177,8 +194,10 @@ def fused_conv3_call(
         memory_space=pltpu.VMEM,
     )
 
-    out_specs: tuple = (out_aligned_spec(out_ch),)
-    out_shape: tuple = (jax.ShapeDtypeStruct((n, h, out_ch, w), dtype),)
+    out_specs: tuple = tuple(out_aligned_spec(ch) for ch in out_chs)
+    out_shape: tuple = tuple(
+        jax.ShapeDtypeStruct((n, h, ch, w), dtype) for ch in out_chs
+    )
     if n_stats:
         out_specs += (
             pl.BlockSpec((n_stats, c_stat), lambda ni, hi: (0, 0),
@@ -191,9 +210,11 @@ def fused_conv3_call(
     if n_stats:
         scratch += [pltpu.VMEM((n_stats, c_stat), jnp.float32)]
 
+    single = len(out_specs) == 1
     res = pl.pallas_call(
         _make_fused_kernel(len(pro_bands), len(epi_bands), len(consts), th,
-                           h, pro_fn, epi_fn, n_stats, dtype),
+                           h, pro_fn, epi_fn, n_stats, dtype,
+                           out_chs if split_out else None),
         grid=grid,
         in_specs=(
             [pro_spec(ch) for ch in pro_ch]
@@ -201,15 +222,17 @@ def fused_conv3_call(
             + [const_spec(Kp.shape)]
             + [const_spec(c.shape) for c in consts]
         ),
-        out_specs=out_specs if n_stats else out_specs[0],
-        out_shape=out_shape if n_stats else out_shape[0],
+        out_specs=out_specs[0] if single else out_specs,
+        out_shape=out_shape[0] if single else out_shape,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(*pro_bands, *epi_bands, Kp, *consts)
-    if n_stats:
-        return res[0], res[1]
-    return res, None
+    if single:
+        return ((res,) if split_out else res), None
+    outs = res[: len(out_chs)]
+    stats = res[len(out_chs)] if n_stats else None
+    return (tuple(outs) if split_out else outs[0]), stats
 
 # ---------------------------------------------------------------------------
 # Generalized weight-grad: dW[c, 9·ΣCp] accumulated across the grid, with an
@@ -532,13 +555,20 @@ def train_bwd_v3(res, cts):
         [y_v], [g_seg_v], c_out=lab, c_in=c, th=th, w_dtype=k1s.dtype,
     )
 
-    # --- shortcut weight grad (one well-shaped XLA matmul) ---
-    xcat_v = parts_v[0] if len(parts_v) == 1 else jnp.concatenate(parts_v, axis=2)
+    # --- shortcut weight grad: per-part matmuls (concatenating the parts
+    # would materialize the ΣCp-channel xcat just for this contraction —
+    # XLA lowers that concat as pad+maximum fusions, 2.4 ms/step at L0) ---
     g_ks = (
-        jnp.einsum(
-            "nhcw,nhiw->ic",
-            g_pre_v.astype(jnp.float32),
-            xcat_v.astype(jnp.float32),
+        jnp.concatenate(
+            [
+                jnp.einsum(
+                    "nhcw,nhiw->ic",
+                    g_pre_v.astype(jnp.float32),
+                    pv.astype(jnp.float32),
+                )
+                for pv in parts_v
+            ],
+            axis=0,
         )
         .reshape(1, 1, csum, c)
         .astype(ks.dtype)
@@ -626,10 +656,10 @@ def train_bwd_v3(res, cts):
         sc = jnp.stack(rows, axis=0)
         return (out_f32.astype(dtype).astype(jnp.float32) + sc).astype(dtype), ()
 
-    g_xcat_v, _ = fused_conv3_call(
+    g_xparts, _ = fused_conv3_call(
         [g_n1_v, f1_v], convT_pack(k1), pro_fn=pro_bn1,
         epi_bands=[g_pre_v], epi_fn=epi_shortcut,
-        consts=[P1t, Q1t, R1pt, M1R1pt, KS_c], out_ch=csum, th=th,
+        consts=[P1t, Q1t, R1pt, M1R1pt, KS_c], out_ch=tuple(part_ch), th=th,
     )
 
     def gpro_bn1(gv, cv):
@@ -644,15 +674,13 @@ def train_bwd_v3(res, cts):
         w_dtype=k1.dtype,
     )
 
-    # --- restore each part's activation form ---
+    # --- restore each part's activation form (the kernel already split) ---
     g_parts = []
-    off = 0
-    for p, cp in zip(parts, part_ch):
-        gv = g_xcat_v[:, :, off : off + cp].astype(p.dtype)
+    for p, gv in zip(parts, g_xparts):
+        gv = gv.astype(p.dtype)
         g_parts.append(
             WTensor(gv) if isinstance(p, WTensor) else jnp.swapaxes(gv, 2, 3)
         )
-        off += cp
     g_bp = (g_k1, (g_g1, g_be1), g_k2, (g_g2, g_be2), g_ks)
     g_sp = (g_k1s, g_b1s, g_k2s, g_b2s, g_kg, g_bg, g_kb, g_bb)
     return tuple(g_parts), g_bp, g_sp, g_head

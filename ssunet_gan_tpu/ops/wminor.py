@@ -94,14 +94,7 @@ def _quads(v: jax.Array):
     )
 
 
-def _max_pool_w(v: jax.Array) -> jax.Array:
-    a, b, c_, d = _quads(_crop_even_w(v))
-    return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c_, d))
-
-
-def _max_pool_idx_w(v: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """(pooled, code) with the first-maximum tie rule of ``jnp.argmax`` /
-    torch (window order TL, TR, BL, BR)."""
+def _pool_idx_impl(v: jax.Array) -> Tuple[jax.Array, jax.Array]:
     a, b, c_, d = _quads(_crop_even_w(v))
     pooled = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c_, d))
     code = jnp.where(
@@ -112,8 +105,7 @@ def _max_pool_idx_w(v: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return pooled, code
 
 
-def _unpool_w(values: jax.Array, code: jax.Array) -> jax.Array:
-    """Inverse: scatter each value to its window corner, zeros elsewhere."""
+def _unpool_impl(values: jax.Array, code: jax.Array) -> jax.Array:
     n, h2, c, w2 = values.shape
     zero = jnp.zeros_like(values)
     quads = [jnp.where(code == k, values, zero) for k in range(4)]
@@ -121,6 +113,86 @@ def _unpool_w(values: jax.Array, code: jax.Array) -> jax.Array:
     row0 = jnp.stack([quads[0], quads[1]], axis=-1).reshape(n, h2, c, 2 * w2)
     row1 = jnp.stack([quads[2], quads[3]], axis=-1).reshape(n, h2, c, 2 * w2)
     return jnp.stack([row0, row1], axis=2).reshape(n, 2 * h2, c, 2 * w2)
+
+
+def _pool_bwd_pad(g: jax.Array, shape) -> jax.Array:
+    """Zero-pad an even-cropped pool gradient back to the input shape."""
+    n, h, c, w = shape
+    if g.shape[1] != h or g.shape[3] != w:
+        g = jnp.pad(g, ((0, 0), (0, h - g.shape[1]), (0, 0),
+                        (0, w - g.shape[3])))
+    return g
+
+
+# The seam ops carry custom VJPs: autodiff through the 2×2-window max
+# chain / scatter emits pred-mask select fusions over 6D interleave
+# layouts (the r3 train profile's multiply_bitcast / pad_add fusions plus
+# their relayout copies), and `jnp.maximum`'s tie rule differs from
+# torch's. The custom backward scatters the cotangent to the RECORDED
+# first-maximum corner (`_unpool_impl`) — torch's MaxPool2d backward
+# exactly, incl. relu-zero ties — and unpool's backward gathers the
+# recorded corner, both in the same structured interleave form as the
+# forwards.
+
+
+@jax.custom_vjp
+def _max_pool_w(v: jax.Array) -> jax.Array:
+    return _pool_idx_impl(v)[0]
+
+
+def _mp_fwd(v):
+    pooled, code = _pool_idx_impl(v)
+    return pooled, (code, v.shape)
+
+
+def _mp_bwd(res, g):
+    code, shape = res
+    return (_pool_bwd_pad(_unpool_impl(g, code), shape),)
+
+
+_max_pool_w.defvjp(_mp_fwd, _mp_bwd)
+
+
+@jax.custom_vjp
+def _max_pool_idx_w(v: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(pooled, code) with the first-maximum tie rule of ``jnp.argmax`` /
+    torch (window order TL, TR, BL, BR)."""
+    return _pool_idx_impl(v)
+
+
+def _mpi_fwd(v):
+    pooled, code = _pool_idx_impl(v)
+    return (pooled, code), (code, v.shape)
+
+
+def _mpi_bwd(res, cts):
+    code, shape = res
+    return (_pool_bwd_pad(_unpool_impl(cts[0], code), shape),)
+
+
+_max_pool_idx_w.defvjp(_mpi_fwd, _mpi_bwd)
+
+
+@jax.custom_vjp
+def _unpool_w(values: jax.Array, code: jax.Array) -> jax.Array:
+    """Inverse: scatter each value to its window corner, zeros elsewhere."""
+    return _unpool_impl(values, code)
+
+
+def _up_fwd(values, code):
+    return _unpool_impl(values, code), code
+
+
+def _up_bwd(code, g):
+    a, b, c_, d = _quads(g)
+    gv = jnp.where(
+        code == 0, a,
+        jnp.where(code == 1, b, jnp.where(code == 2, c_, d)),
+    )
+    return gv, None
+
+
+_unpool_w.defvjp(_up_fwd, _up_bwd)
 
 
 # ---------------------------------------------------------------------------

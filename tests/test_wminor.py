@@ -175,3 +175,81 @@ def test_plain_nhwc_passthrough():
     np.testing.assert_array_equal(
         np.asarray(upsample2x(x)), np.asarray(upsample_bilinear(x, 2, True))
     )
+
+
+# ---------------------------------------------------------------------------
+# Seam-op custom VJPs: the backward scatters to the RECORDED first-maximum
+# corner (torch MaxPool2d semantics, incl. relu-zero ties) instead of
+# autodiff's maximum-chain tie rule; unpool's backward gathers the recorded
+# corner. Pinned against torch.
+# ---------------------------------------------------------------------------
+
+
+def _torch_pool_grad(x_nhwc, g_nhwc):
+    import torch
+
+    xt = torch.tensor(
+        np.ascontiguousarray(np.moveaxis(np.asarray(x_nhwc), -1, 1)),
+        requires_grad=True,
+    )
+    p = torch.nn.functional.max_pool2d(xt, 2, 2)
+    p.backward(torch.tensor(
+        np.ascontiguousarray(np.moveaxis(np.asarray(g_nhwc), -1, 1))
+    ))
+    return np.moveaxis(xt.grad.numpy(), 1, -1)
+
+
+@pytest.mark.parametrize("seed,tie", [(3, False), (4, True)])
+def test_pool2x2_wminor_grad_matches_torch(seed, tie):
+    import jax
+
+    x = _rand((2, 8, 6, 4), seed=seed)
+    if tie:  # relu-style zeros: whole windows tie at 0.0
+        x = jnp.maximum(x, 0.0) * (jnp.abs(x) > 0.8)
+    g = _rand((2, 4, 3, 4), seed=seed + 10)
+
+    def loss(x):
+        out = pool2x2(_wt(x))
+        return jnp.sum(to_nhwc(out) * g)
+
+    got = jax.grad(loss)(x)
+    want = _torch_pool_grad(x, g)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_pool_with_indices_grad_matches_torch():
+    import jax
+
+    x = jnp.maximum(_rand((1, 6, 8, 3), seed=5), 0.0)  # relu ties included
+    g = _rand((1, 3, 4, 3), seed=15)
+
+    def loss(x):
+        p, _ = pool2x2_with_indices(_wt(x))
+        return jnp.sum(to_nhwc(p) * g)
+
+    got = jax.grad(loss)(x)
+    want = _torch_pool_grad(x, g)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_unpool2x2_grad_gathers_recorded_corner():
+    import jax
+
+    x = _rand((1, 6, 4, 3), seed=6)
+    _, code = pool2x2_with_indices(_wt(x))
+    v = _rand((1, 3, 2, 3), seed=7)
+    g = _rand((1, 6, 4, 3), seed=8)
+
+    def loss(v):
+        return jnp.sum(to_nhwc(unpool2x2(_wt(v), code)) * g)
+
+    got = jax.grad(loss)(v)
+    # numpy reference: gather g at each value's recorded scatter corner
+    gn = np.asarray(g)  # (N, H, W, C)
+    cn = np.moveaxis(np.asarray(code.c), 2, 3)  # (N, H2, W2, C)
+    n, h2, w2, c = cn.shape
+    want = np.empty((n, h2, w2, c), np.float32)
+    for i in np.ndindex(n, h2, w2, c):
+        k = cn[i]
+        want[i] = gn[i[0], 2 * i[1] + k // 2, 2 * i[2] + k % 2, i[3]]
+    np.testing.assert_array_equal(np.asarray(got), want)
