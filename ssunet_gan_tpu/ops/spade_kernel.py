@@ -216,10 +216,17 @@ def _conv3_rows(slabs, kp, t_out: int, dtype, sub_w: int = 0, post=None):
     liveness; a stacked f32 slab of th+8 rows is the single largest live
     value in the stage kernels).
     """
+    row = _conv3_row_fn(slabs, kp, dtype, sub_w, post)
+    return jnp.stack([row(t) for t in range(t_out)], axis=0)
+
+
+def _conv3_row_fn(slabs, kp, dtype, sub_w: int = 0, post=None):
+    """Row function of :func:`_conv3_rows` (``row(t) -> (Cout, W)``), for
+    callers that compute arbitrary row subsets (the halo-carry path)."""
     w = slabs[0].shape[-1]
     ones_row = jnp.ones((1, w), dtype)
-    rows = []
-    for t in range(t_out):
+
+    def row(t):
         taps = []
         for slab in slabs:
             for dy in range(3):
@@ -229,8 +236,39 @@ def _conv3_rows(slabs, kp, t_out: int, dtype, sub_w: int = 0, post=None):
         taps.append(ones_row)
         x9 = jnp.concatenate(taps, axis=0)
         acc = jnp.dot(kp, x9, preferred_element_type=jnp.float32)
-        rows.append(post(acc) if post is not None else acc)
-    return jnp.stack(rows, axis=0)
+        return post(acc) if post is not None else acc
+
+    return row
+
+
+def _carried_rows(row_fn, total: int, overlap: int, cref, first, row0, h_img):
+    """Assemble a ``(total, C, W)`` intermediate whose leading ``overlap``
+    rows are CARRIED from the previous band instead of recomputed.
+
+    The rolling-halo kernels historically recomputed every intermediate's
+    halo rows per band — (total)/(total−overlap)× redundant MXU work
+    (1.25× for conv1 at th=32). Because each band's rows are a pure
+    function of the (identical) underlying image rows, the previous band's
+    trailing rows are bit-exact stand-ins: carry them in scratch ``cref``
+    ((overlap, C, W)), seed it at the image's first compute band
+    (``first``), and compute only rows [overlap, total) fresh. The FULL
+    slab is re-masked against [0, h_img) — carried rows were masked with
+    the same global row indices, so the mask is idempotent across bands.
+    Writes the next band's carry (the trailing ``overlap`` rows) back.
+    """
+
+    @pl.when(first)
+    def _seed():
+        cref[:] = _zero_outside_image(
+            jnp.stack([row_fn(t) for t in range(overlap)], axis=0),
+            row0, h_img,
+        ).astype(cref.dtype)
+
+    new = jnp.stack([row_fn(t) for t in range(overlap, total)], axis=0)
+    slab = jnp.concatenate([cref[:], new], axis=0)
+    slab = _zero_outside_image(slab, row0, h_img)
+    cref[:] = slab[total - overlap :]
+    return slab
 
 
 # ---------------------------------------------------------------------------
@@ -309,7 +347,8 @@ def _seg_rows_stacked(xh, k1_ref, t_out: int, r: int, lab: int, dtype,
 
 
 def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype, sub_w: int = 0,
-                seg_r: int = 0, seg_lab: int = 0, want_saved: bool = False):
+                seg_r: int = 0, seg_lab: int = 0, want_saved: bool = False,
+                carry=None):
     """Self-SPADE on a W-minor slab ``xh`` of TH+6 rows (3 halo rings each
     side, already zeroed outside the image); returns the TH modulated rows.
 
@@ -327,26 +366,46 @@ def _spade_tail(xh, row0, h_img, k1_ref, k2_ref, k3_ref, dtype, sub_w: int = 0,
     packed kernels arrive with the bias column last) — the same conv+bias
     numerics, and no (f,1)-shaped broadcasts, which crash Mosaic's vector
     layout pass.
+
+    ``carry`` = (segc_ref_or_None, actvc_ref, first) enables the
+    halo-carry path (:func:`_carried_rows`): seg/actv halo rows come from
+    the previous band's scratch instead of being recomputed (bit-exact —
+    each row is a pure function of the same image rows). ``segc_ref`` is
+    None under seg-stacked dots (stacked groups compute r rows at a time,
+    which doesn't decompose into a per-row carry).
     """
     th = xh.shape[0] - 6
     c, w = xh.shape[1], xh.shape[2]
+    segc_ref, actvc_ref, first = carry if carry is not None else (None,) * 3
 
     # x2map: per-row packed-tap dot (contraction 9·C+1), or stacked
     # block-diagonal dots (see pack_seg_stacked) when seg_r is set.
     if seg_r:
         seg = _seg_rows_stacked(xh, k1_ref, th + 4, seg_r, seg_lab, dtype,
                                 sub_w)
+        seg = _zero_outside_image(seg, row0 + 1, h_img)
+    elif segc_ref is not None:
+        seg_row = _conv3_row_fn([xh], k1_ref[:], dtype, sub_w,
+                                post=lambda r: r.astype(dtype))
+        seg = _carried_rows(seg_row, th + 4, 4, segc_ref, first,
+                            row0 + 1, h_img)
     else:
         seg = _conv3_rows([xh], k1_ref[:], th + 4, dtype, sub_w,
                           post=lambda r: r.astype(dtype))
-    seg = _zero_outside_image(seg, row0 + 1, h_img)
+        seg = _zero_outside_image(seg, row0 + 1, h_img)
 
     # mlp_shared: packed 9·label(+bias) contraction + ReLU.
-    s9 = _tap_cat(seg, th + 2, sub_w)  # (TH+2, 9·lab, W)
-    s9 = jnp.concatenate([s9, jnp.ones((th + 2, 1, w), dtype)], axis=1)
-    actv = _dotb(k2_ref[:], s9,
-                 post=lambda r: jax.nn.relu(r).astype(dtype))  # (TH+2, nh, W)
-    actv = _zero_outside_image(actv, row0 + 2, h_img)
+    if actvc_ref is not None:
+        actv_row = _conv3_row_fn([seg], k2_ref[:], dtype, sub_w,
+                                 post=lambda r: jax.nn.relu(r).astype(dtype))
+        actv = _carried_rows(actv_row, th + 2, 2, actvc_ref, first,
+                             row0 + 2, h_img)
+    else:
+        s9 = _tap_cat(seg, th + 2, sub_w)  # (TH+2, 9·lab, W)
+        s9 = jnp.concatenate([s9, jnp.ones((th + 2, 1, w), dtype)], axis=1)
+        actv = _dotb(k2_ref[:], s9,
+                     post=lambda r: jax.nn.relu(r).astype(dtype))  # (TH+2, nh, W)
+        actv = _zero_outside_image(actv, row0 + 2, h_img)
 
     # gamma|beta: packed 9·nh(+bias) contraction; modulate on the VPU.
     a9 = _tap_cat(actv, th, sub_w)  # (TH, 9·nh, W)

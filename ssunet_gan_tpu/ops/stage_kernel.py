@@ -41,6 +41,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ssunet_gan_tpu.ops.acts import WTensor
 from ssunet_gan_tpu.ops.spade_kernel import (
+    _carried_rows,
+    _conv3_row_fn,
     _conv3_rows,
     _interpret,
     _shift_w,
@@ -133,6 +135,29 @@ def set_pack_max_planes(planes: int) -> None:
     _PACK_MAX_PLANES = int(planes)
 
 
+# Halo carry (see spade_kernel._carried_rows): the eval kernels' per-band
+# intermediates overlap the next band's by a fixed row count (h1 by 8, y by
+# 6, seg by 4, actv by 2); carrying those rows in scratch instead of
+# recomputing removes the rolling-halo's redundant MXU work (1.25×/1.19×/
+# 1.13×/1.06× per intermediate at th=32) — bit-exact, each row is a pure
+# function of the same image rows. MEASURED NEGATIVE on the bench scene
+# (same-session A/B, 512² tiles): bf16-fused 213.2 → 205.7 tiles/s with the
+# carry ON; int8 ≈ neutral (302.1 vs 301.4). The per-row serialization
+# around the scratch read/modify/write costs more than the ~12% saved MXU
+# work at th=32. Ships default OFF as an A/B lever (set_halo_carry(True)),
+# parity-pinned by tests/test_stage_kernel.py::test_halo_carry_matches_recompute.
+_HALO_CARRY: Optional[bool] = None
+
+
+def set_halo_carry(enabled: Optional[bool]) -> None:
+    global _HALO_CARRY
+    _HALO_CARRY = enabled
+
+
+def halo_carry_enabled() -> bool:
+    return False if _HALO_CARRY is None else bool(_HALO_CARRY)
+
+
 def _pack_factor(n: int, w: int) -> int:
     """Images packed per lane vector (1 = no packing)."""
     if w >= _PACK_W or _PACK_W % w or n % (_PACK_W // w):
@@ -202,6 +227,9 @@ def set_band_rows(th: Optional[int]) -> None:
 
 def _vmem_estimate(h: int, w: int, c: int, part_ch, itemsize: int,
                    th: int = 8, int8: bool = False) -> int:
+    # halo-carry scratch (h1c 8 + yc 6 rows of C, plus the small seg/actv
+    # carries — folded into a 16-row bound; activation dtype in both modes)
+    carry_b = 16 * c * w * itemsize if halo_carry_enabled() else 0
     if int8:
         # s8 x-slabs (1 B), bf16 h1 after the per-row downcast + its s8
         # requant copy, bf16 y / SPADE gb / out (×2 buf), f32 DQ vectors
@@ -215,7 +243,7 @@ def _vmem_estimate(h: int, w: int, c: int, part_ch, itemsize: int,
             + 2 * th * c * w * itemsize
             + 5 * c * w * 4
         )
-        return parts_b + mid_b
+        return parts_b + mid_b + carry_b
     # per part: rolling scratch + double-buffered cur block + xh slab
     parts_b = sum(
         ((th + 5) + 2 * th + (th + 10)) * cp * w * itemsize for cp in part_ch
@@ -223,7 +251,7 @@ def _vmem_estimate(h: int, w: int, c: int, part_ch, itemsize: int,
     # h1 (f32 acc + dtype), h2/y (f32 + dtype), spade gb, out (×2 buf)
     mid_b = (th + 8) * c * w * (4 + itemsize) + (th + 6) * c * w * (4 + itemsize) \
         + th * 2 * c * w * itemsize + 2 * th * c * w * itemsize
-    return parts_b + mid_b
+    return parts_b + mid_b + carry_b
 
 
 def _th_candidates(h: int, w: int, c: int, part_ch, itemsize: int,
@@ -323,7 +351,8 @@ def resolve_band_th(
     wp = w * f
     sub_w = w if f > 1 else 0
     key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out,
-           dtype.name, seg_stack_enabled(int8), int8, _BAND_ROWS)
+           dtype.name, seg_stack_enabled(int8), int8, _BAND_ROWS,
+           halo_carry_enabled())
     if key in _TH_CACHE:
         return _TH_CACHE[key]
     resolved = None
@@ -432,15 +461,16 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
 
 def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
                  has_final: bool, sub_w: int = 0, seg_r: int = 0,
-                 seg_lab: int = 0):
+                 seg_lab: int = 0, carry: bool = False):
     def kernel(*refs):
         # operand order: [xcur_p ×P] K1cat, K2SC, K1s, K2s, K3s, [KF],
-        #                out, [scratch_p ×P]
+        #                out, [scratch_p ×P], [h1c, yc, [segc], actvc]
         xcur = refs[:n_parts]
         k1_ref, k2sc_ref, k1s_ref, k2s_ref, k3s_ref = refs[n_parts : n_parts + 5]
         kf_ref = refs[n_parts + 5] if has_final else None
         o_ref = refs[n_parts + 5 + int(has_final)]
         scratch = refs[n_parts + 6 + int(has_final) :]
+        cscr = scratch[n_parts:]  # halo-carry refs (empty when carry=False)
 
         i = pl.program_id(1)
         dtype = o_ref.dtype
@@ -459,16 +489,22 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
             # h1 = relu(bn1-folded conv1 over all parts): one deep-K packed
             # dot per output row (contraction 9·ΣCp + 1); the per-row relu+
             # downcast keeps the f32 accumulators out of the live set (the
-            # tall-band VMEM high-water, see _conv3_rows)
-            h1 = _conv3_rows(xh_parts, k1_ref[:], th + 8, dtype, sub_w,
-                             post=lambda r: jax.nn.relu(r).astype(dtype))
-            h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
+            # tall-band VMEM high-water, see _conv3_rows). With halo carry
+            # the top 8 rows come from the previous band's scratch.
+            h1_row = _conv3_row_fn(xh_parts, k1_ref[:], dtype, sub_w,
+                                   post=lambda r: jax.nn.relu(r).astype(dtype))
+            if carry:
+                h1 = _carried_rows(h1_row, th + 8, 8, cscr[0], i == 1,
+                                   g0 + 1, h_img)
+            else:
+                h1 = jnp.stack([h1_row(t) for t in range(th + 8)], axis=0)
+                h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
 
             # conv2 + 1×1 shortcut + bn2 bias fused into ONE per-row dot:
             # row input = [9 taps of h1 | per-part x row | ones]
             ones_row = jnp.ones((1, w), dtype)
-            y_rows = []
-            for t in range(th + 6):
+
+            def y_row(t):
                 taps = []
                 for dy in range(3):
                     r = h1[t + dy]
@@ -480,13 +516,21 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
                 x9 = jnp.concatenate(taps, axis=0)  # (9C + ΣCp + 1, W)
                 acc = jnp.dot(k2sc_ref[:], x9,
                               preferred_element_type=jnp.float32)
-                y_rows.append(jax.nn.relu(acc).astype(dtype))
-            y = jnp.stack(y_rows, axis=0)
-            y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
+                return jax.nn.relu(acc).astype(dtype)
 
+            if carry:
+                y = _carried_rows(y_row, th + 6, 6, cscr[1], i == 1,
+                                  g0 + 2, h_img)
+            else:
+                y = jnp.stack([y_row(t) for t in range(th + 6)], axis=0)
+                y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
+
+            tail_carry = None
+            if carry:
+                tail_carry = (None if seg_r else cscr[2], cscr[-1], i == 1)
             out = _spade_tail(
                 y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w,
-                seg_r=seg_r, seg_lab=seg_lab,
+                seg_r=seg_r, seg_lab=seg_lab, carry=tail_carry,
             )
             if not has_final:
                 o_ref[:] = out
@@ -532,6 +576,7 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
     grid = (n, nh + 1)
     dtype = parts_v[0].dtype
     c_out = c if KF is None else KF.shape[0]
+    carry = halo_carry_enabled()
 
     def cur_spec(p):
         return pl.BlockSpec(
@@ -544,10 +589,23 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
         shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM
     )
 
+    scratch = [
+        pltpu.VMEM((th + 5, part_ch[p], w), dtype) for p in range(n_parts)
+    ]
+    if carry:
+        lab = seg_lab if seg_r else K1s.shape[0]
+        scratch += [
+            pltpu.VMEM((8, c, w), dtype),          # h1 carry
+            pltpu.VMEM((6, c, w), dtype),          # y carry
+        ]
+        if not seg_r:
+            scratch += [pltpu.VMEM((4, lab, w), dtype)]  # seg carry
+        scratch += [pltpu.VMEM((2, K2s.shape[0], w), dtype)]  # actv carry
+
     weights = [K1cat, K2SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
     return pl.pallas_call(
         _make_kernel(n_parts, th, c, w, part_ch, h, KF is not None, sub_w,
-                     seg_r, seg_lab),
+                     seg_r, seg_lab, carry=carry),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
@@ -559,9 +617,7 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((th + 5, part_ch[p], w), dtype) for p in range(n_parts)
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit or _VMEM_LIMIT
         ),
@@ -685,7 +741,7 @@ def fused_eval_stage(
 
 def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                        h_img: int, has_final: bool, sub_w: int = 0,
-                       seg_r: int = 0, seg_lab: int = 0):
+                       seg_r: int = 0, seg_lab: int = 0, carry: bool = False):
     L = 4
 
     def kernel(*refs):
@@ -695,6 +751,7 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
         kf_ref = refs[n_parts + 6] if has_final else None
         o_ref = refs[n_parts + 6 + int(has_final)]
         scratch = refs[n_parts + 7 + int(has_final) :]
+        cscr = scratch[n_parts:]  # halo-carry refs (empty when carry=False)
 
         i = pl.program_id(1)
         dtype = o_ref.dtype
@@ -714,26 +771,34 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
 
             # conv1 (1×1) + bn1 + relu, per-row dot over [x parts | 1];
             # per-row relu+downcast keeps f32 accumulators off the live set
-            h1_rows = []
-            for t in range(th + 2 * L):
+            def h1_row(t):
                 xr = jnp.concatenate(
                     [xh_parts[p][t] for p in range(n_parts)] + [ones_row], axis=0
                 )
                 acc = jnp.dot(k1b_ref[:], xr,
                               preferred_element_type=jnp.float32)
-                h1_rows.append(jax.nn.relu(acc).astype(dtype))
-            h1 = jnp.stack(h1_rows, axis=0)
-            h1 = _zero_outside_image(h1, g0, h_img)  # (th+8, C, W)
+                return jax.nn.relu(acc).astype(dtype)
+
+            if carry:
+                h1 = _carried_rows(h1_row, th + 2 * L, 2 * L, cscr[0], i == 1,
+                                   g0, h_img)
+            else:
+                h1 = jnp.stack([h1_row(t) for t in range(th + 2 * L)], axis=0)
+                h1 = _zero_outside_image(h1, g0, h_img)  # (th+8, C, W)
 
             # conv2 (3×3) + bn2 + relu
-            h2 = _conv3_rows([h1], k2b_ref[:], th + 6, dtype, sub_w,
-                             post=lambda r: jax.nn.relu(r).astype(dtype))
-            h2 = _zero_outside_image(h2, g0 + 1, h_img)  # (th+6, C, W)
+            h2_row = _conv3_row_fn([h1], k2b_ref[:], dtype, sub_w,
+                                   post=lambda r: jax.nn.relu(r).astype(dtype))
+            if carry:
+                h2 = _carried_rows(h2_row, th + 6, 6, cscr[1], i == 1,
+                                   g0 + 1, h_img)
+            else:
+                h2 = jnp.stack([h2_row(t) for t in range(th + 6)], axis=0)
+                h2 = _zero_outside_image(h2, g0 + 1, h_img)  # (th+6, C, W)
 
             # conv3 (1×1) + bn3 + shortcut(+bn / identity) + relu: one dot
             # over [h2 | x parts | 1] (identity shortcut packs I_C columns)
-            y_rows = []
-            for t in range(th + 6):
+            def y_row(t):
                 # y row t is global row g0+1+t → x slab index t+1
                 xr = jnp.concatenate(
                     [h2[t]]
@@ -743,13 +808,21 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                 )
                 acc = jnp.dot(k3sc_ref[:], xr,
                               preferred_element_type=jnp.float32)
-                y_rows.append(jax.nn.relu(acc).astype(dtype))
-            y = jnp.stack(y_rows, axis=0)
-            y = _zero_outside_image(y, g0 + 1, h_img)
+                return jax.nn.relu(acc).astype(dtype)
 
+            if carry:
+                y = _carried_rows(y_row, th + 6, 6, cscr[2], i == 1,
+                                  g0 + 1, h_img)
+            else:
+                y = jnp.stack([y_row(t) for t in range(th + 6)], axis=0)
+                y = _zero_outside_image(y, g0 + 1, h_img)
+
+            tail_carry = None
+            if carry:
+                tail_carry = (None if seg_r else cscr[3], cscr[-1], i == 1)
             out = _spade_tail(
                 y, g0 + 1, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w,
-                seg_r=seg_r, seg_lab=seg_lab,
+                seg_r=seg_r, seg_lab=seg_lab, carry=tail_carry,
             )
             if not has_final:
                 o_ref[:] = out
@@ -887,10 +960,23 @@ def fused_eval_stage_bneck(
     seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
     if seg_r:
         K1s = pack_seg_stacked(k1s, b1s, seg_r, dtype)
+    carry = halo_carry_enabled()
+    scratch = [
+        pltpu.VMEM((th + 4, part_ch[p], w), dtype) for p in range(len(parts))
+    ]
+    if carry:
+        scratch += [
+            pltpu.VMEM((8, c, w), dtype),   # h1 carry
+            pltpu.VMEM((6, c, w), dtype),   # h2 carry
+            pltpu.VMEM((6, c, w), dtype),   # y carry
+        ]
+        if not seg_r:
+            scratch += [pltpu.VMEM((4, lab, w), dtype)]  # seg carry
+        scratch += [pltpu.VMEM((2, nh, w), dtype)]       # actv carry
     weights = [K1B, K2B, K3SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
     outv = pl.pallas_call(
         _make_bneck_kernel(len(parts), th, c, w, part_ch, h, KF is not None,
-                           sub_w, seg_r, lab),
+                           sub_w, seg_r, lab, carry=carry),
         grid=(n, nh_grid + 1),
         in_specs=(
             [cur_spec(p) for p in range(len(parts))]
@@ -902,9 +988,7 @@ def fused_eval_stage_bneck(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((th + 4, part_ch[p], w), dtype) for p in range(len(parts))
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(*parts_v, *weights)

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ssunet_gan_tpu.ops.spade_kernel import (
+    _carried_rows,
     _interpret,
     _shift_w,
     _spade_tail,
@@ -51,6 +52,7 @@ from ssunet_gan_tpu.ops.stage_kernel import (
     _pack_factor,
     _pack_lanes,
     _unpack_lanes,
+    halo_carry_enabled,
     resolve_band_th,
     seg_stack_enabled,
 )
@@ -321,23 +323,33 @@ def xla_int8_block(parts: Sequence[jax.Array], block_bundle: Tuple,
 def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                       h_img: int, has_final: bool, dtype, sub_w: int = 0,
                       out_inv_scale: Optional[float] = None,
-                      seg_r: int = 0, seg_lab: int = 0):
+                      seg_r: int = 0, seg_lab: int = 0, carry: bool = False):
     """``out_inv_scale`` (a compile-time constant, = 127/abs_max from the
     static calibration) switches the epilogue to emit s8 directly: the
     SPADE-modulated stage output is quantized in-kernel, so the HBM write,
     the output relayout copy and the consumer's quantize pass all move
-    half the bytes (kernel-to-kernel int8 flow)."""
+    half the bytes (kernel-to-kernel int8 flow).
+
+    ``carry`` enables the halo-carry path (spade_kernel._carried_rows).
+    The h1 carry is bit-exact (bf16 rows; the per-band requant scale is
+    re-derived from the assembled band, which carries the same values).
+    The y carry keeps the scale PROVENANCE of the producing band — carried
+    rows were dequantized with that band's s_h1 instead of the next
+    band's, a sub-quantization-step numeric shift well inside the int8
+    path's approximation envelope (accuracy bars: tools/accuracy_bar.py).
+    """
     csum = sum(part_ch)
 
     def kernel(*refs):
         # operands: [qx_p ×P], Wq1, Wq2, Wqs, DQ (4,C) f32, K1s, K2s, K3s,
-        #           [KF], out, [scratch_p ×P]
+        #           [KF], out, [scratch_p ×P], [h1c, yc, [segc], actvc]
         qx = refs[:n_parts]
         wq1_ref, wq2_ref, wqs_ref, dq_ref = refs[n_parts : n_parts + 4]
         k1s_ref, k2s_ref, k3s_ref = refs[n_parts + 4 : n_parts + 7]
         kf_ref = refs[n_parts + 7] if has_final else None
         o_ref = refs[n_parts + 7 + int(has_final)]
         scratch = refs[n_parts + 8 + int(has_final) :]
+        cscr = scratch[n_parts:]  # halo-carry refs (empty when carry=False)
 
         i = pl.program_id(1)
         cur = [qx[p][:] for p in range(n_parts)]
@@ -354,9 +366,9 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
 
             dq = dq_ref[:]  # (5, C, W) pre-tiled per-channel vectors
             d1, t1 = dq[0], dq[1]
+
             # conv1 (int8 MXU) + per-channel dequant + bn1 bias + relu
-            h1_rows = []
-            for t in range(th + 8):
+            def h1_row(t):
                 taps = []
                 for p in range(n_parts):
                     for dy in range(3):
@@ -368,20 +380,25 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                     wq1_ref[:], x9, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-                h1_rows.append(
-                    jax.nn.relu(_rowscale(acc.astype(jnp.float32), d1) + t1)
-                    .astype(dtype)  # per-row downcast: no live f32 slab
-                )
-            h1 = jnp.stack(h1_rows, axis=0)
-            h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
+                # per-row downcast: no live f32 slab
+                return jax.nn.relu(
+                    _rowscale(acc.astype(jnp.float32), d1) + t1
+                ).astype(dtype)
+
+            if carry:
+                h1 = _carried_rows(h1_row, th + 8, 8, cscr[0], i == 1,
+                                   g0 + 1, h_img)
+            else:
+                h1 = jnp.stack([h1_row(t) for t in range(th + 8)], axis=0)
+                h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
 
             # per-band requantization of h1 (slab-local scale, see module doc)
             qh1, s_h1 = _quant_band(h1)
 
             d2 = dq[2] * s_h1  # conv2 dequant folds the band scale
             ds, t2 = dq[3], dq[4]
-            y_rows = []
-            for t in range(th + 6):
+
+            def y_row(t):
                 taps = []
                 for dy in range(3):
                     r = qh1[t + dy]
@@ -399,19 +416,25 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                     wqs_ref[:], xrow, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-                y_rows.append(
-                    jax.nn.relu(
-                        _rowscale(acc2.astype(jnp.float32), d2)
-                        + _rowscale(accs.astype(jnp.float32), ds)
-                        + t2
-                    ).astype(dtype)
-                )
-            y = jnp.stack(y_rows, axis=0)
-            y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
+                return jax.nn.relu(
+                    _rowscale(acc2.astype(jnp.float32), d2)
+                    + _rowscale(accs.astype(jnp.float32), ds)
+                    + t2
+                ).astype(dtype)
 
+            if carry:
+                y = _carried_rows(y_row, th + 6, 6, cscr[1], i == 1,
+                                  g0 + 2, h_img)
+            else:
+                y = jnp.stack([y_row(t) for t in range(th + 6)], axis=0)
+                y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
+
+            tail_carry = None
+            if carry:
+                tail_carry = (None if seg_r else cscr[2], cscr[-1], i == 1)
             out = _spade_tail(
                 y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w,
-                seg_r=seg_r, seg_lab=seg_lab,
+                seg_r=seg_r, seg_lab=seg_lab, carry=tail_carry,
             )
             if out_inv_scale is not None:
                 o_ref[:] = jnp.stack(
@@ -483,10 +506,24 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
         shape, lambda ni, hi, _r=len(shape): (0,) * _r, memory_space=pltpu.VMEM
     )
 
+    carry = halo_carry_enabled()
+    scratch = [
+        pltpu.VMEM((th + 5, part_ch[p], w), jnp.int8) for p in range(n_parts)
+    ]
+    if carry:
+        lab = seg_lab if seg_r else K1s.shape[0]
+        scratch += [
+            pltpu.VMEM((8, c, w), dtype),          # h1 carry (bf16, exact)
+            pltpu.VMEM((6, c, w), dtype),          # y carry
+        ]
+        if not seg_r:
+            scratch += [pltpu.VMEM((4, lab, w), dtype)]  # seg carry
+        scratch += [pltpu.VMEM((2, K2s.shape[0], w), dtype)]  # actv carry
+
     weights = [Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s] + ([] if KF is None else [KF])
     return pl.pallas_call(
         _make_kernel_int8(n_parts, th, c, w, part_ch, h, KF is not None, dtype,
-                          sub_w, out_inv_scale, seg_r, seg_lab),
+                          sub_w, out_inv_scale, seg_r, seg_lab, carry=carry),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
@@ -498,9 +535,7 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((th + 5, part_ch[p], w), jnp.int8) for p in range(n_parts)
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit or _VMEM_LIMIT
         ),

@@ -58,6 +58,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ssunet_gan_tpu.ops.acts import WTensor
 from ssunet_gan_tpu.ops.spade_kernel import (
+    _carried_rows,
     _conv3_rows,
     _interpret,
     _spade_tail,
@@ -65,7 +66,11 @@ from ssunet_gan_tpu.ops.spade_kernel import (
     _zero_outside_image,
     conv_apply,
 )
-from ssunet_gan_tpu.ops.stage_kernel import _VMEM_LIMIT, _wminor_views
+from ssunet_gan_tpu.ops.stage_kernel import (
+    _VMEM_LIMIT,
+    _wminor_views,
+    halo_carry_enabled,
+)
 
 BN_EPS = 1e-5
 
@@ -258,10 +263,12 @@ def _conv_stats_call(parts_v, Kp, prologue=None):
 
 
 def _make_tail_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
-                      h_img: int, has_final: bool, dtype):
+                      h_img: int, has_final: bool, dtype,
+                      carry: bool = False):
     def kernel(*refs):
         # operands: f2, [x_p ×P], A2, B2, Ws, K1s, K2s, K3s, [KF],
-        #           (out, y_sav, seg_sav, actv_sav), [scratch_f2, scratch_p ×P]
+        #           (out, y_sav, seg_sav, actv_sav),
+        #           [scratch_f2, scratch_p ×P], [yc, segc, actvc]
         f2cur = refs[0]
         xcur = refs[1 : 1 + n_parts]
         a_ref, b_ref, ws_ref = refs[1 + n_parts : 4 + n_parts]
@@ -270,7 +277,8 @@ def _make_tail_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
         o_base = 7 + n_parts + int(has_final)
         o_ref, y_ref, seg_ref, actv_ref = refs[o_base : o_base + 4]
         scratch_f2 = refs[o_base + 4]
-        scratch = refs[o_base + 5 :]
+        scratch = refs[o_base + 5 : o_base + 5 + n_parts]
+        cscr = refs[o_base + 5 + n_parts :]  # halo-carry refs (may be empty)
 
         i = pl.program_id(1)
         f2c = f2cur[:]
@@ -285,8 +293,7 @@ def _make_tail_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                 for p in range(n_parts)
             ]
 
-            y_rows = []
-            for t in range(th + 6):
+            def y_row(t):
                 xrow = jnp.concatenate(
                     [xh_parts[p][t] for p in range(n_parts)], axis=0
                 )  # (ΣCp, W)
@@ -294,17 +301,21 @@ def _make_tail_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                     ws_ref[:], xrow, (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                y_rows.append(
-                    jax.nn.relu(
-                        f2h[t].astype(jnp.float32) * a_ref[:] + b_ref[:] + sc
-                    )
-                )
-            y = jnp.stack(y_rows, axis=0).astype(dtype)
-            y = _zero_outside_image(y, g0, h_img)  # (th+6, C, W)
+                return jax.nn.relu(
+                    f2h[t].astype(jnp.float32) * a_ref[:] + b_ref[:] + sc
+                ).astype(dtype)
 
+            if carry:
+                y = _carried_rows(y_row, th + 6, 6, cscr[0], i == 1,
+                                  g0, h_img)
+            else:
+                y = jnp.stack([y_row(t) for t in range(th + 6)], axis=0)
+                y = _zero_outside_image(y, g0, h_img)  # (th+6, C, W)
+
+            tail_carry = (cscr[1], cscr[2], i == 1) if carry else None
             out, seg_sav, actv_sav = _spade_tail(
                 y, g0, h_img, k1s_ref, k2s_ref, k3s_ref, dtype,
-                want_saved=True,
+                want_saved=True, carry=tail_carry,
             )
             y_ref[:] = y[3 : 3 + th]
             seg_ref[:] = seg_sav
@@ -374,9 +385,21 @@ def _tail_call(f2_v, parts_v, A2, B2, Ws, K1s, K2s, K3s, KF=None,
         shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM
     )
 
+    carry = halo_carry_enabled()
+    scratch = (
+        [pltpu.VMEM((th + 3, c, w), dtype)]
+        + [pltpu.VMEM((th + 3, part_ch[p], w), dtype) for p in range(n_parts)]
+    )
+    if carry:
+        scratch += [
+            pltpu.VMEM((6, c, w), dtype),     # y carry
+            pltpu.VMEM((4, lab, w), dtype),   # seg carry
+            pltpu.VMEM((2, nhid, w), dtype),  # actv carry
+        ]
     weights = [A2, B2, Ws, K1s, K2s, K3s] + ([] if KF is None else [KF])
     return pl.pallas_call(
-        _make_tail_kernel(n_parts, th, c, w, part_ch, h, KF is not None, dtype),
+        _make_tail_kernel(n_parts, th, c, w, part_ch, h, KF is not None, dtype,
+                          carry=carry),
         grid=grid,
         in_specs=(
             [band_spec(c)]
@@ -395,10 +418,7 @@ def _tail_call(f2_v, parts_v, A2, B2, Ws, K1s, K2s, K3s, KF=None,
             jax.ShapeDtypeStruct((n, h, ch, w), dtype)
             for ch in (c_out, c, lab, nhid)
         ),
-        scratch_shapes=(
-            [pltpu.VMEM((th + 3, c, w), dtype)]
-            + [pltpu.VMEM((th + 3, part_ch[p], w), dtype) for p in range(n_parts)]
-        ),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
     )(f2_v, *parts_v, *weights)

@@ -158,6 +158,40 @@ def test_static_calibration_stage_parity(rng):
     assert np.corrcoef(sat.ravel(), dyn.ravel())[0, 1] > 0.98
 
 
+def test_int8_halo_carry_close_to_recompute(rng):
+    """Opt-in halo carry in the int8 kernel: h1 carry is bit-exact; y/seg/
+    actv carries keep the PRODUCING band's requant-scale provenance, a
+    sub-quantization-step shift — so ON must track OFF tightly and keep
+    the same quantization-error bar vs the f32 composition."""
+    from ssunet_gan_tpu.ops.blocks import BasicBlock
+    from ssunet_gan_tpu.ops.stage_kernel import set_halo_carry
+
+    planes, label, shapes, nh = 16, 3, [(1, 64, 8, 8)], 4.0  # multi-band
+    block, spade, bvars, svars, parts = _init_pair(rng, planes, label,
+                                                   shapes, nh)
+    in_planes = sum(s[-1] for s in shapes)
+    bp = BasicBlock(block.planes, in_planes=in_planes).apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+    try:
+        set_halo_carry(False)
+        off = np.asarray(fused_eval_stage_int8(parts, bp, sp))
+        set_halo_carry(True)
+        on = np.asarray(fused_eval_stage_int8(parts, bp, sp))
+    finally:
+        set_halo_carry(None)
+    assert np.isfinite(on).all()
+    scale = np.abs(off).max() + 1e-6
+    # carried rows differ from recomputed ones by at most the h1 requant
+    # rounding shift propagated through one conv — far below the int8
+    # path's own 2% rms bar vs f32
+    rms = np.sqrt(np.mean((on - off) ** 2)) / scale
+    assert rms < 5e-3, f"carry-vs-recompute relative RMS {rms:.5f}"
+    want = np.asarray(_reference_stage(block, spade, bvars, svars, parts))
+    fscale = np.abs(want).max() + 1e-6
+    rms_f = np.sqrt(np.mean((on - want) ** 2)) / fscale
+    assert rms_f < 0.02, f"relative RMS vs f32 {rms_f:.4f}"
+
+
 def test_record_and_calibrate_flagship(rng, tmp_path):
     """End-to-end PTQ flow: record ranges on the flagship, install them,
     and check the calibrated int8 forward still tracks f32."""

@@ -376,6 +376,42 @@ def test_stage_forward_parity_seg_stacked(rng, planes, label, shapes, nh):
     )
 
 
+# ---------------------------------------------------------------------------
+# Halo carry (spade_kernel._carried_rows): the per-band h1/y/seg/actv halo
+# rows come from the previous band's scratch instead of being recomputed.
+# Bit-exact by construction — the ON/OFF equivalence below pins that, over
+# shapes with several bands per image (where carries actually flow) and
+# both edge bands (where the seed + masking interact).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "planes,label,shapes,nh",
+    [
+        (16, 3, [(1, 64, 8, 8)], 4.0),                   # th=32, 2 bands
+        (16, 3, [(1, 24, 8, 8), (1, 24, 8, 16)], 4.0),   # 3 bands, 2 parts
+    ],
+)
+def test_halo_carry_matches_recompute(rng, planes, label, shapes, nh):
+    from ssunet_gan_tpu.ops.stage_kernel import set_halo_carry
+
+    block, spade, bvars, svars, parts = _init_pair(rng, planes, label,
+                                                   shapes, nh)
+    cin = sum(s[-1] for s in shapes)
+    try:
+        set_halo_carry(False)
+        want = _fused_stage(block, spade, bvars, svars, parts, cin)
+        set_halo_carry(True)
+        got = _fused_stage(block, spade, bvars, svars, parts, cin)
+    finally:
+        set_halo_carry(None)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    ref = _reference_stage(block, spade, bvars, svars, parts)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_bneck_stage_parity_seg_stacked(rng):
     from ssunet_gan_tpu.ops.blocks import Bottleneck
     from ssunet_gan_tpu.ops.stage_kernel import (

@@ -65,6 +65,29 @@ def test_train_stage_forward_and_stats_parity(rng, planes, label, shapes, nh):
                                    atol=1e-4)
 
 
+def test_train_tail_halo_carry_bitexact(rng):
+    """Opt-in halo carry in the train tail kernel (y/seg/actv rows carried
+    from the previous band's scratch) is bit-exact vs the recompute form —
+    forward outputs AND batch stats."""
+    from ssunet_gan_tpu.ops.stage_kernel import set_halo_carry
+    from ssunet_gan_tpu.ops.wminor import to_nhwc
+
+    bp, sp, parts = _train_bundles(16, 3, [(1, 64, 8, 8)], 4.0, rng)
+    try:
+        set_halo_carry(False)
+        out_off, stats_off = fused_train_stage(parts, bp, sp, None)
+        set_halo_carry(True)
+        out_on, stats_on = fused_train_stage(parts, bp, sp, None)
+    finally:
+        set_halo_carry(None)
+    np.testing.assert_array_equal(
+        np.asarray(to_nhwc(out_on)), np.asarray(to_nhwc(out_off))
+    )
+    for (m, v), (wm, wv) in zip(stats_on, stats_off):
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(wm))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(wv))
+
+
 def test_train_stage_wminor_parts_roundtrip(rng):
     """WTensor parts in → WTensor out, same math as NHWC parts."""
     from ssunet_gan_tpu.ops.acts import WTensor

@@ -29,6 +29,9 @@ def main(argv=None):
                     help="stacked seg-conv dots in the fused kernels")
     ap.add_argument("--band-rows", type=int, default=0,
                     help="force the rolling-halo band height (0 = auto)")
+    ap.add_argument("--halo-carry", action="store_true",
+                    help="carry halo rows between bands (measured slower "
+                         "bf16, neutral int8 — default recomputes)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -39,6 +42,7 @@ def main(argv=None):
     from ssunet_gan_tpu.ops.stage_kernel import (
         set_band_rows,
         set_fused_stage,
+        set_halo_carry,
         set_seg_stack,
     )
     from ssunet_gan_tpu.ops.stage_kernel_int8 import (
@@ -51,6 +55,8 @@ def main(argv=None):
         set_seg_stack(True)  # default: auto (int8-only — measured win)
     if args.band_rows:
         set_band_rows(args.band_rows)
+    if args.halo_carry:
+        set_halo_carry(True)
 
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
