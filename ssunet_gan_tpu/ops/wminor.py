@@ -73,7 +73,33 @@ def to_wminor_view(t: Activation) -> jax.Array:
 
 # ---------------------------------------------------------------------------
 # W-minor pooling (math of ops/pool.py on the (N, H, C, W) orientation).
+#
+# Implementation choice: the obvious 6D reshape (`_quads`) splits the MINOR
+# W axis into (W/2, 2), which XLA can only lower as full relayout copies —
+# the r3 eval device trace showed TWO level-0-sized copies per pool
+# (copy.13/copy.14, ~11 ms/step of the flagship's 147 ms). The "shift"
+# implementations below never split the minor axis: the H split is a free
+# view (H is not minor), the TR/BR corners come from a W-shift (fusible
+# slice+concat), the 2×2 max/code run at FULL width, and the even-column
+# decimation is either one MXU dot with a 0/1 selection matrix
+# ("shift_dot" — decimation is linear, f32 accumulation of one-hot rows is
+# exact in every dtype used here) or a strided minor-dim slice
+# ("shift_slice"). Both are bit-exact vs `_quads` (same max association
+# order, same first-maximum tie rule).
 # ---------------------------------------------------------------------------
+
+_POOL_IMPL: str = "reshape6"  # "reshape6" | "shift_dot" | "shift_slice"
+
+
+def set_pool_impl(name: str) -> None:
+    """Select the W-minor pool lowering (A/B lever; all three bit-exact)."""
+    assert name in ("reshape6", "shift_dot", "shift_slice"), name
+    global _POOL_IMPL
+    _POOL_IMPL = name
+
+
+def pool_impl() -> str:
+    return _POOL_IMPL
 
 
 def _crop_even_w(v: jax.Array) -> jax.Array:
@@ -94,15 +120,65 @@ def _quads(v: jax.Array):
     )
 
 
-def _pool_idx_impl(v: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    a, b, c_, d = _quads(_crop_even_w(v))
-    pooled = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c_, d))
-    code = jnp.where(
-        a == pooled,
-        jnp.int8(0),
-        jnp.where(b == pooled, jnp.int8(1), jnp.where(c_ == pooled, jnp.int8(2), jnp.int8(3))),
+def _quads_fullw(v: jax.Array):
+    """Full-width 2×2-window corner candidates: at every EVEN column j the
+    four returned tensors hold (TL, TR, BL, BR) of the window anchored at
+    j; odd columns hold meaningless values that the decimation discards.
+    No minor-axis split: the H split is a free view, TR/BR are a W-shift."""
+    n, h, c, w = v.shape
+    v5 = v.reshape(n, h // 2, 2, c, w)
+    top, bot = v5[:, :, 0], v5[:, :, 1]
+    tr = jnp.concatenate([top[..., 1:], top[..., -1:]], axis=-1)
+    br = jnp.concatenate([bot[..., 1:], bot[..., -1:]], axis=-1)
+    return top, tr, bot, br
+
+
+def _dec_even_w(x: jax.Array) -> jax.Array:
+    """Keep the even columns of the minor W axis: (…, W) → (…, W/2)."""
+    if _POOL_IMPL == "shift_slice":
+        return x[..., ::2]
+    w = x.shape[-1]
+    sel = np.zeros((w, w // 2), np.float32)
+    sel[np.arange(0, w, 2), np.arange(w // 2)] = 1.0
+    if x.dtype == jnp.int8:
+        out = jax.lax.dot_general(
+            x, jnp.asarray(sel, jnp.int8),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return out.astype(jnp.int8)
+    out = jax.lax.dot_general(
+        x, jnp.asarray(sel, x.dtype),
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    return pooled, code
+    return out.astype(x.dtype)
+
+
+def _pool_idx_impl(v: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    if _POOL_IMPL == "reshape6":
+        a, b, c_, d = _quads(_crop_even_w(v))
+        pooled = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c_, d))
+        code = jnp.where(
+            a == pooled,
+            jnp.int8(0),
+            jnp.where(
+                b == pooled, jnp.int8(1),
+                jnp.where(c_ == pooled, jnp.int8(2), jnp.int8(3)),
+            ),
+        )
+        return pooled, code
+    a, b, c_, d = _quads_fullw(_crop_even_w(v))
+    pooled_f = jnp.maximum(jnp.maximum(a, b), jnp.maximum(c_, d))
+    code_f = jnp.where(
+        a == pooled_f,
+        jnp.int8(0),
+        jnp.where(
+            b == pooled_f, jnp.int8(1),
+            jnp.where(c_ == pooled_f, jnp.int8(2), jnp.int8(3)),
+        ),
+    )
+    return _dec_even_w(pooled_f), _dec_even_w(code_f)
 
 
 def _unpool_impl(values: jax.Array, code: jax.Array) -> jax.Array:
