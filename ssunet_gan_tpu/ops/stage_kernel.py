@@ -158,6 +158,27 @@ def halo_carry_enabled() -> bool:
     return False if _HALO_CARRY is None else bool(_HALO_CARRY)
 
 
+# Lookahead grid: the historical grid ran nh+1 steps per image with step 0
+# a compute-free prologue that seeds the rolling scratch. With an extra
+# 8-row lookahead BlockSpec on the NEXT band's first rows, band i computes
+# from (prev-block scratch | block i | lookahead) directly — grid (n, nh),
+# no prologue steps, and the rolling scratch shrinks th+5 → 5 rows, at
+# +8/th of input DMA (the lookahead re-fetch). Bit-exact (parity pinned in
+# tests/test_stage_kernel.py); MEASURED on the flagship b=32 @512² bench:
+# bf16-fused 213.0 → 220.5 tiles/s, int8-calibrated 303.8 → 330.5.
+# Default ON (set_lookahead(False) restores the prologue grid for A/B).
+_LOOKAHEAD: Optional[bool] = None
+
+
+def set_lookahead(enabled: Optional[bool]) -> None:
+    global _LOOKAHEAD
+    _LOOKAHEAD = enabled
+
+
+def lookahead_enabled() -> bool:
+    return True if _LOOKAHEAD is None else bool(_LOOKAHEAD)
+
+
 def _pack_factor(n: int, w: int) -> int:
     """Images packed per lane vector (1 = no packing)."""
     if w >= _PACK_W or _PACK_W % w or n % (_PACK_W // w):
@@ -215,7 +236,11 @@ _REJECT_BYTES = int(2.5 * _VMEM_LIMIT)
 # kernel's slabs are 1-2 bytes/elem, so ``int8=True`` additionally tries
 # th=64 through the NEVER-TRUSTED probe tier (the s8 probe program below).
 # ``set_band_rows`` forces one height (perf sweeps).
-_TH_CANDIDATES = (32, 16, 8)
+# th=64 is probe-gated (never trusted). Under the prologue grid it
+# stack-OOM'd the bf16 programs (BASELINE.md r3 tall-band study); the
+# lookahead grid's 5-row scratch brings it back under the cap — probes
+# pass for every flagship stage in both dtypes.
+_TH_CANDIDATES = (64, 32, 16, 8)
 _TH_CANDIDATES_INT8 = (64, 32, 16, 8)
 _BAND_ROWS: Optional[int] = None
 
@@ -233,8 +258,9 @@ def _vmem_estimate(h: int, w: int, c: int, part_ch, itemsize: int,
     if int8:
         # s8 x-slabs (1 B), bf16 h1 after the per-row downcast + its s8
         # requant copy, bf16 y / SPADE gb / out (×2 buf), f32 DQ vectors
+        sc8 = (5 + 16) if lookahead_enabled() else (th + 5)
         parts_b = sum(
-            ((th + 5) + 2 * th + (th + 10)) * cp * w * 1 for cp in part_ch
+            (sc8 + 2 * th + (th + 10)) * cp * w * 1 for cp in part_ch
         )
         mid_b = (
             (th + 8) * c * w * (itemsize + 1)
@@ -245,8 +271,11 @@ def _vmem_estimate(h: int, w: int, c: int, part_ch, itemsize: int,
         )
         return parts_b + mid_b + carry_b
     # per part: rolling scratch + double-buffered cur block + xh slab
+    # (lookahead mode: 5-row scratch + 2×8-row lookahead buffers instead
+    # of the th+5 scratch — strictly smaller for th ≥ 16)
+    sc_rows = (5 + 16) if lookahead_enabled() else (th + 5)
     parts_b = sum(
-        ((th + 5) + 2 * th + (th + 10)) * cp * w * itemsize for cp in part_ch
+        (sc_rows + 2 * th + (th + 10)) * cp * w * itemsize for cp in part_ch
     )
     # h1 (f32 acc + dtype), h2/y (f32 + dtype), spade gb, out (×2 buf)
     mid_b = (th + 8) * c * w * (4 + itemsize) + (th + 6) * c * w * (4 + itemsize) \
@@ -352,7 +381,7 @@ def resolve_band_th(
     sub_w = w if f > 1 else 0
     key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out,
            dtype.name, seg_stack_enabled(int8), int8, _BAND_ROWS,
-           halo_carry_enabled())
+           halo_carry_enabled(), lookahead_enabled())
     if key in _TH_CACHE:
         return _TH_CACHE[key]
     resolved = None
@@ -461,27 +490,38 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
 
 def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
                  has_final: bool, sub_w: int = 0, seg_r: int = 0,
-                 seg_lab: int = 0, carry: bool = False):
+                 seg_lab: int = 0, carry: bool = False, look: bool = False):
     def kernel(*refs):
-        # operand order: [xcur_p ×P] K1cat, K2SC, K1s, K2s, K3s, [KF],
-        #                out, [scratch_p ×P], [h1c, yc, [segc], actvc]
+        # operand order: [xcur_p ×P] [xlook_p ×P if look] K1cat, K2SC, K1s,
+        #                K2s, K3s, [KF], out, [scratch_p ×P],
+        #                [h1c, yc, [segc], actvc]
+        nl = n_parts * (1 + int(look))
         xcur = refs[:n_parts]
-        k1_ref, k2sc_ref, k1s_ref, k2s_ref, k3s_ref = refs[n_parts : n_parts + 5]
-        kf_ref = refs[n_parts + 5] if has_final else None
-        o_ref = refs[n_parts + 5 + int(has_final)]
-        scratch = refs[n_parts + 6 + int(has_final) :]
+        xlook = refs[n_parts:nl]
+        k1_ref, k2sc_ref, k1s_ref, k2s_ref, k3s_ref = refs[nl : nl + 5]
+        kf_ref = refs[nl + 5] if has_final else None
+        o_ref = refs[nl + 5 + int(has_final)]
+        scratch = refs[nl + 6 + int(has_final) :]
         cscr = scratch[n_parts:]  # halo-carry refs (empty when carry=False)
 
         i = pl.program_id(1)
         dtype = o_ref.dtype
         cur = [xcur[p][:] for p in range(n_parts)]
 
-        @pl.when(i > 0)
         def _compute():
-            g0 = (i - 1) * th - 5  # global image row of xh row 0
+            # global image row of xh row 0 (band rows are masked against
+            # [0, h_img), so garbage in the first band's top halo — stale
+            # scratch in lookahead mode — and past-the-end lookahead rows
+            # both zero out)
+            g0 = (i if look else i - 1) * th - 5
             xh_parts = []
             for p in range(n_parts):
-                xh = jnp.concatenate([scratch[p][:], cur[p][0:5]], axis=0)
+                if look:  # scratch(5) | cur(th) | lookahead(5)
+                    xh = jnp.concatenate(
+                        [scratch[p][:], cur[p], xlook[p][0:5]], axis=0
+                    )
+                else:  # scratch(th+5) | cur(5)
+                    xh = jnp.concatenate([scratch[p][:], cur[p][0:5]], axis=0)
                 xh_parts.append(
                     _zero_outside_image(xh, g0, h_img).astype(dtype)
                 )  # (th+10, Cp, W)
@@ -491,10 +531,11 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
             # downcast keeps the f32 accumulators out of the live set (the
             # tall-band VMEM high-water, see _conv3_rows). With halo carry
             # the top 8 rows come from the previous band's scratch.
+            first = i == 0 if look else i == 1
             h1_row = _conv3_row_fn(xh_parts, k1_ref[:], dtype, sub_w,
                                    post=lambda r: jax.nn.relu(r).astype(dtype))
             if carry:
-                h1 = _carried_rows(h1_row, th + 8, 8, cscr[0], i == 1,
+                h1 = _carried_rows(h1_row, th + 8, 8, cscr[0], first,
                                    g0 + 1, h_img)
             else:
                 h1 = jnp.stack([h1_row(t) for t in range(th + 8)], axis=0)
@@ -519,7 +560,7 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
                 return jax.nn.relu(acc).astype(dtype)
 
             if carry:
-                y = _carried_rows(y_row, th + 6, 6, cscr[1], i == 1,
+                y = _carried_rows(y_row, th + 6, 6, cscr[1], first,
                                   g0 + 2, h_img)
             else:
                 y = jnp.stack([y_row(t) for t in range(th + 6)], axis=0)
@@ -527,7 +568,7 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
 
             tail_carry = None
             if carry:
-                tail_carry = (None if seg_r else cscr[2], cscr[-1], i == 1)
+                tail_carry = (None if seg_r else cscr[2], cscr[-1], first)
             out = _spade_tail(
                 y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w,
                 seg_r=seg_r, seg_lab=seg_lab, carry=tail_carry,
@@ -545,19 +586,29 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
                     fin_rows.append(acc.astype(dtype))
                 o_ref[:] = jnp.stack(fin_rows, axis=0)
 
-        # roll the scratch: keep the last th+5 rows of (scratch ∪ cur)
-        for p in range(n_parts):
-            tail = scratch[p][th:]  # last 5 rows (read before overwrite)
+        if look:
+            # no prologue step: band i computes from scratch (last 5 rows
+            # of block i−1; stale for i=0, masked), block i and the 8-row
+            # lookahead view of block i+1
+            _compute()
+            for p in range(n_parts):
+                scratch[p][:] = cur[p][th - 5 :]
+        else:
+            pl.when(i > 0)(_compute)
 
-            @pl.when(i == 0)
-            def _init(p=p):
-                scratch[p][0:5] = jnp.zeros_like(scratch[p][0:5])
-                scratch[p][5:] = cur[p]
+            # roll the scratch: keep the last th+5 rows of (scratch ∪ cur)
+            for p in range(n_parts):
+                tail = scratch[p][th:]  # last 5 rows (read before overwrite)
 
-            @pl.when(i > 0)
-            def _roll(p=p, tail=tail):
-                scratch[p][0:5] = tail
-                scratch[p][5:] = cur[p]
+                @pl.when(i == 0)
+                def _init(p=p):
+                    scratch[p][0:5] = jnp.zeros_like(scratch[p][0:5])
+                    scratch[p][5:] = cur[p]
+
+                @pl.when(i > 0)
+                def _roll(p=p, tail=tail):
+                    scratch[p][0:5] = tail
+                    scratch[p][5:] = cur[p]
 
     return kernel
 
@@ -573,15 +624,33 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
     n_parts = len(parts_v)
     part_ch = tuple(p.shape[2] for p in parts_v)
     nh = h // th
-    grid = (n, nh + 1)
+    look = lookahead_enabled()
+    grid = (n, nh) if look else (n, nh + 1)
     dtype = parts_v[0].dtype
     c_out = c if KF is None else KF.shape[0]
     carry = halo_carry_enabled()
 
     def cur_spec(p):
+        if look:
+            return pl.BlockSpec(
+                (None, th, part_ch[p], w),
+                lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (None, th, part_ch[p], w),
             lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def look_spec(p):
+        # 8-row window at the next band's first rows ((hi+1)·th; th % 8 ==
+        # 0 so the block index is exact), clamped into the image for the
+        # last band — those rows are ≥ h and masked in-kernel
+        return pl.BlockSpec(
+            (None, 8, part_ch[p], w),
+            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (th // 8), h // 8 - 1),
+                            0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -590,7 +659,8 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
     )
 
     scratch = [
-        pltpu.VMEM((th + 5, part_ch[p], w), dtype) for p in range(n_parts)
+        pltpu.VMEM((5 if look else th + 5, part_ch[p], w), dtype)
+        for p in range(n_parts)
     ]
     if carry:
         lab = seg_lab if seg_r else K1s.shape[0]
@@ -605,15 +675,17 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
     weights = [K1cat, K2SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
     return pl.pallas_call(
         _make_kernel(n_parts, th, c, w, part_ch, h, KF is not None, sub_w,
-                     seg_r, seg_lab, carry=carry),
+                     seg_r, seg_lab, carry=carry, look=look),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
+            + ([look_spec(p) for p in range(n_parts)] if look else [])
             + [const(wt.shape) for wt in weights]
         ),
         out_specs=pl.BlockSpec(
             (None, th, c_out, w),
-            lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
+            (lambda ni, hi: (ni, hi, 0, 0)) if look
+            else (lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0)),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), dtype),
@@ -622,7 +694,7 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
             vmem_limit_bytes=vmem_limit or _VMEM_LIMIT
         ),
         interpret=_interpret(),
-    )(*parts_v, *weights)
+    )(*((list(parts_v) + list(parts_v)) if look else parts_v), *weights)
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,7 @@ from ssunet_gan_tpu.ops.stage_kernel import (
     _pack_lanes,
     _unpack_lanes,
     halo_carry_enabled,
+    lookahead_enabled,
     resolve_band_th,
     seg_stack_enabled,
 )
@@ -323,7 +324,8 @@ def xla_int8_block(parts: Sequence[jax.Array], block_bundle: Tuple,
 def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                       h_img: int, has_final: bool, dtype, sub_w: int = 0,
                       out_inv_scale: Optional[float] = None,
-                      seg_r: int = 0, seg_lab: int = 0, carry: bool = False):
+                      seg_r: int = 0, seg_lab: int = 0, carry: bool = False,
+                      look: bool = False):
     """``out_inv_scale`` (a compile-time constant, = 127/abs_max from the
     static calibration) switches the epilogue to emit s8 directly: the
     SPADE-modulated stage output is quantized in-kernel, so the HBM write,
@@ -341,25 +343,33 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
     csum = sum(part_ch)
 
     def kernel(*refs):
-        # operands: [qx_p ×P], Wq1, Wq2, Wqs, DQ (4,C) f32, K1s, K2s, K3s,
-        #           [KF], out, [scratch_p ×P], [h1c, yc, [segc], actvc]
+        # operands: [qx_p ×P], [qlook_p ×P if look], Wq1, Wq2, Wqs,
+        #           DQ (4,C) f32, K1s, K2s, K3s, [KF], out,
+        #           [scratch_p ×P], [h1c, yc, [segc], actvc]
+        nl = n_parts * (1 + int(look))
         qx = refs[:n_parts]
-        wq1_ref, wq2_ref, wqs_ref, dq_ref = refs[n_parts : n_parts + 4]
-        k1s_ref, k2s_ref, k3s_ref = refs[n_parts + 4 : n_parts + 7]
-        kf_ref = refs[n_parts + 7] if has_final else None
-        o_ref = refs[n_parts + 7 + int(has_final)]
-        scratch = refs[n_parts + 8 + int(has_final) :]
+        qlook = refs[n_parts:nl]
+        wq1_ref, wq2_ref, wqs_ref, dq_ref = refs[nl : nl + 4]
+        k1s_ref, k2s_ref, k3s_ref = refs[nl + 4 : nl + 7]
+        kf_ref = refs[nl + 7] if has_final else None
+        o_ref = refs[nl + 7 + int(has_final)]
+        scratch = refs[nl + 8 + int(has_final) :]
         cscr = scratch[n_parts:]  # halo-carry refs (empty when carry=False)
 
         i = pl.program_id(1)
         cur = [qx[p][:] for p in range(n_parts)]
 
-        @pl.when(i > 0)
         def _compute():
-            g0 = (i - 1) * th - 5  # global image row of xh row 0
+            g0 = (i if look else i - 1) * th - 5  # global row of xh row 0
+            first = i == 0 if look else i == 1
             xh_parts = []
             for p in range(n_parts):
-                xh = jnp.concatenate([scratch[p][:], cur[p][0:5]], axis=0)
+                if look:  # scratch(5) | cur(th) | lookahead(5)
+                    xh = jnp.concatenate(
+                        [scratch[p][:], cur[p], qlook[p][0:5]], axis=0
+                    )
+                else:
+                    xh = jnp.concatenate([scratch[p][:], cur[p][0:5]], axis=0)
                 xh_parts.append(
                     _zero_outside_image(xh, g0, h_img)
                 )  # (th+10, Cp, W) int8 — zero-point 0 keeps pad exact
@@ -386,7 +396,7 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                 ).astype(dtype)
 
             if carry:
-                h1 = _carried_rows(h1_row, th + 8, 8, cscr[0], i == 1,
+                h1 = _carried_rows(h1_row, th + 8, 8, cscr[0], first,
                                    g0 + 1, h_img)
             else:
                 h1 = jnp.stack([h1_row(t) for t in range(th + 8)], axis=0)
@@ -423,7 +433,7 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                 ).astype(dtype)
 
             if carry:
-                y = _carried_rows(y_row, th + 6, 6, cscr[1], i == 1,
+                y = _carried_rows(y_row, th + 6, 6, cscr[1], first,
                                   g0 + 2, h_img)
             else:
                 y = jnp.stack([y_row(t) for t in range(th + 6)], axis=0)
@@ -431,7 +441,7 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
 
             tail_carry = None
             if carry:
-                tail_carry = (None if seg_r else cscr[2], cscr[-1], i == 1)
+                tail_carry = (None if seg_r else cscr[2], cscr[-1], first)
             out = _spade_tail(
                 y, g0 + 2, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w,
                 seg_r=seg_r, seg_lab=seg_lab, carry=tail_carry,
@@ -461,19 +471,29 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                     )
                 o_ref[:] = jnp.stack(fin_rows, axis=0).astype(dtype)
 
-        # roll the int8 scratch: keep the last th+5 rows of (scratch ∪ cur)
-        for p in range(n_parts):
-            tail = scratch[p][th:]  # last 5 rows (read before overwrite)
+        if look:
+            # no prologue step (see ops/stage_kernel.set_lookahead): band i
+            # computes from (5-row scratch | block i | 8-row lookahead)
+            _compute()
+            for p in range(n_parts):
+                scratch[p][:] = cur[p][th - 5 :]
+        else:
+            pl.when(i > 0)(_compute)
 
-            @pl.when(i == 0)
-            def _init(p=p):
-                scratch[p][0:5] = jnp.zeros_like(scratch[p][0:5])
-                scratch[p][5:] = cur[p]
+            # roll the int8 scratch: keep the last th+5 rows of
+            # (scratch ∪ cur)
+            for p in range(n_parts):
+                tail = scratch[p][th:]  # last 5 rows (read before overwrite)
 
-            @pl.when(i > 0)
-            def _roll(p=p, tail=tail):
-                scratch[p][0:5] = tail
-                scratch[p][5:] = cur[p]
+                @pl.when(i == 0)
+                def _init(p=p):
+                    scratch[p][0:5] = jnp.zeros_like(scratch[p][0:5])
+                    scratch[p][5:] = cur[p]
+
+                @pl.when(i > 0)
+                def _roll(p=p, tail=tail):
+                    scratch[p][0:5] = tail
+                    scratch[p][5:] = cur[p]
 
     return kernel
 
@@ -491,14 +511,29 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
     n_parts = len(parts_q)
     part_ch = tuple(p.shape[2] for p in parts_q)
     nh = h // th
-    grid = (n, nh + 1)
+    look = lookahead_enabled()
+    grid = (n, nh) if look else (n, nh + 1)
     c_out = c if KF is None else KF.shape[0]
     out_dtype = dtype if out_inv_scale is None else jnp.int8
 
     def cur_spec(p):
+        if look:
+            return pl.BlockSpec(
+                (None, th, part_ch[p], w),
+                lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (None, th, part_ch[p], w),
             lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def look_spec(p):
+        return pl.BlockSpec(
+            (None, 8, part_ch[p], w),
+            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (th // 8), h // 8 - 1),
+                            0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -508,7 +543,8 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
 
     carry = halo_carry_enabled()
     scratch = [
-        pltpu.VMEM((th + 5, part_ch[p], w), jnp.int8) for p in range(n_parts)
+        pltpu.VMEM((5 if look else th + 5, part_ch[p], w), jnp.int8)
+        for p in range(n_parts)
     ]
     if carry:
         lab = seg_lab if seg_r else K1s.shape[0]
@@ -523,15 +559,18 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
     weights = [Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s] + ([] if KF is None else [KF])
     return pl.pallas_call(
         _make_kernel_int8(n_parts, th, c, w, part_ch, h, KF is not None, dtype,
-                          sub_w, out_inv_scale, seg_r, seg_lab, carry=carry),
+                          sub_w, out_inv_scale, seg_r, seg_lab, carry=carry,
+                          look=look),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
+            + ([look_spec(p) for p in range(n_parts)] if look else [])
             + [const(wt.shape) for wt in weights]
         ),
         out_specs=pl.BlockSpec(
             (None, th, c_out, w),
-            lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
+            (lambda ni, hi: (ni, hi, 0, 0)) if look
+            else (lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0)),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), out_dtype),
@@ -540,7 +579,7 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
             vmem_limit_bytes=vmem_limit or _VMEM_LIMIT
         ),
         interpret=_interpret(),
-    )(*parts_q, *weights)
+    )(*((list(parts_q) + list(parts_q)) if look else parts_q), *weights)
 
 
 def _probe_compile_int8(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,

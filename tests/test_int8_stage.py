@@ -292,3 +292,24 @@ def test_int8_stage_seg_stacked_matches_per_row(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(base), rtol=2e-4, atol=2e-4
     )
+
+
+def test_int8_lookahead_matches_prologue(rng):
+    """Lookahead grid in the int8 kernel: bit-exact vs the prologue grid
+    (same masked rows → same per-band h1 requant scales)."""
+    from ssunet_gan_tpu.ops.blocks import BasicBlock
+    from ssunet_gan_tpu.ops.stage_kernel import set_lookahead
+
+    block, spade, bvars, svars, parts = _init_pair(
+        rng, 16, 3, [(2, 16, 16, 8), (2, 16, 16, 16)], 4.0
+    )
+    bp = BasicBlock(block.planes, in_planes=24).apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+    try:
+        set_lookahead(False)
+        want = np.asarray(fused_eval_stage_int8(parts, bp, sp))
+        set_lookahead(True)
+        got = np.asarray(fused_eval_stage_int8(parts, bp, sp))
+    finally:
+        set_lookahead(None)
+    np.testing.assert_array_equal(got, want)

@@ -438,3 +438,54 @@ def test_bneck_stage_parity_seg_stacked(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.parametrize(
+    "planes,label,shapes,nh",
+    [
+        (16, 3, [(1, 64, 8, 8)], 4.0),                   # multi-band
+        (16, 3, [(1, 24, 8, 8), (1, 24, 8, 16)], 4.0),   # 3 bands, 2 parts
+    ],
+)
+def test_lookahead_grid_matches_prologue(rng, planes, label, shapes, nh):
+    """The lookahead grid (no per-image prologue step, 5-row scratch,
+    8-row next-band lookahead spec) is bit-exact vs the prologue grid —
+    measured +3.5% end-to-end bf16 (BASELINE.md r3)."""
+    from ssunet_gan_tpu.ops.stage_kernel import set_lookahead
+
+    block, spade, bvars, svars, parts = _init_pair(rng, planes, label,
+                                                   shapes, nh)
+    cin = sum(s[-1] for s in shapes)
+    try:
+        set_lookahead(False)
+        want = _fused_stage(block, spade, bvars, svars, parts, cin)
+        set_lookahead(True)
+        got = _fused_stage(block, spade, bvars, svars, parts, cin)
+    finally:
+        set_lookahead(None)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    ref = _reference_stage(block, spade, bvars, svars, parts)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_lookahead_model_parity(rng):
+    """Full-model check of the lookahead grid (covers the folded final
+    conv and the W-minor seams between lookahead kernels)."""
+    from ssunet_gan_tpu.ops.stage_kernel import set_lookahead
+
+    model = build_model("SSUNet", num_classes=2, input_channels=3)
+    x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+
+    set_fused_stage(True)
+    try:
+        set_lookahead(False)
+        want = jax.jit(lambda v, x: model.apply(v, x, False))(variables, x)
+        set_lookahead(True)
+        got = jax.jit(lambda v, x: model.apply(v, x, False))(variables, x)
+    finally:
+        set_lookahead(None)
+        set_fused_stage(None)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
