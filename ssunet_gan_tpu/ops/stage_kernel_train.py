@@ -70,6 +70,7 @@ from ssunet_gan_tpu.ops.stage_kernel import (
     _VMEM_LIMIT,
     _wminor_views,
     halo_carry_enabled,
+    lookahead_enabled,
 )
 
 BN_EPS = 1e-5
@@ -143,16 +144,20 @@ def set_train_bwd_v3(enabled: bool) -> None:
 
 
 def _make_conv_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
-                      h_img: int, has_prologue: bool, dtype):
+                      h_img: int, has_prologue: bool, dtype,
+                      look: bool = False):
     def kernel(*refs):
-        # operands: [x_p ×P], K, [A, B], out, stats, [scratch_p ×P], acc
+        # operands: [x_p ×P], [xlook_p ×P if look], K, [A, B], out, stats,
+        #           [scratch_p ×P], acc
+        nl = n_parts * (1 + int(look))
         xcur = refs[:n_parts]
-        k_ref = refs[n_parts]
+        xlook = refs[n_parts:nl]
+        k_ref = refs[nl]
         if has_prologue:
-            a_ref, b_ref = refs[n_parts + 1 : n_parts + 3]
-        o_ref = refs[n_parts + 1 + 2 * int(has_prologue)]
-        s_ref = refs[n_parts + 2 + 2 * int(has_prologue)]
-        scratch = refs[n_parts + 3 + 2 * int(has_prologue) : -1]
+            a_ref, b_ref = refs[nl + 1 : nl + 3]
+        o_ref = refs[nl + 1 + 2 * int(has_prologue)]
+        s_ref = refs[nl + 2 + 2 * int(has_prologue)]
+        scratch = refs[nl + 3 + 2 * int(has_prologue) : -1]
         acc_ref = refs[-1]
 
         i = pl.program_id(1)
@@ -163,12 +168,16 @@ def _make_conv_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
         def _zero_acc():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        @pl.when(i > 0)
         def _compute():
-            g0 = (i - 1) * th - 1  # global image row of xh row 0
+            g0 = (i if look else i - 1) * th - 1  # global row of xh row 0
             xh_parts = []
             for p in range(n_parts):
-                xh = jnp.concatenate([scratch[p][:], cur[p][0:1]], axis=0)
+                if look:  # scratch(1) | cur(th) | lookahead(1)
+                    xh = jnp.concatenate(
+                        [scratch[p][:], cur[p], xlook[p][0:1]], axis=0
+                    )
+                else:
+                    xh = jnp.concatenate([scratch[p][:], cur[p][0:1]], axis=0)
                 if has_prologue:  # relu(f1·a+b) in f32, rounded like XLA BN
                     xh = jax.nn.relu(
                         xh.astype(jnp.float32) * a_ref[:] + b_ref[:]
@@ -181,20 +190,28 @@ def _make_conv_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
             acc_ref[0] = acc_ref[0] + jnp.sum(of, axis=(0, 2))
             acc_ref[1] = acc_ref[1] + jnp.sum(of * of, axis=(0, 2))
 
+        if look:
+            _compute()
+            for p in range(n_parts):
+                scratch[p][:] = cur[p][th - 1 :]
+        else:
+            pl.when(i > 0)(_compute)
+
         s_ref[:] = acc_ref[:]
 
-        for p in range(n_parts):
-            tail = scratch[p][th:]  # last 1 row (read before overwrite)
+        if not look:
+            for p in range(n_parts):
+                tail = scratch[p][th:]  # last 1 row (read before overwrite)
 
-            @pl.when(i == 0)
-            def _init(p=p):
-                scratch[p][0:1] = jnp.zeros_like(scratch[p][0:1])
-                scratch[p][1:] = cur[p]
+                @pl.when(i == 0)
+                def _init(p=p):
+                    scratch[p][0:1] = jnp.zeros_like(scratch[p][0:1])
+                    scratch[p][1:] = cur[p]
 
-            @pl.when(i > 0)
-            def _roll(p=p, tail=tail):
-                scratch[p][0:1] = tail
-                scratch[p][1:] = cur[p]
+                @pl.when(i > 0)
+                def _roll(p=p, tail=tail):
+                    scratch[p][0:1] = tail
+                    scratch[p][1:] = cur[p]
 
     return kernel
 
@@ -210,16 +227,31 @@ def _conv_stats_call(parts_v, Kp, prologue=None):
     part_ch = tuple(p.shape[2] for p in parts_v)
     th = _pick_train_th(h)
     nh = h // th
-    grid = (n, nh + 1)
+    look = lookahead_enabled() and th % 8 == 0 and h % 8 == 0
+    grid = (n, nh) if look else (n, nh + 1)
     dtype = parts_v[0].dtype
     has_prologue = prologue is not None
     if has_prologue:
         assert n_parts == 1, "prologue supports a single input"
 
     def cur_spec(p):
+        if look:
+            return pl.BlockSpec(
+                (None, th, part_ch[p], w),
+                lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (None, th, part_ch[p], w),
             lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def look_spec(p):
+        return pl.BlockSpec(
+            (None, 8, part_ch[p], w),
+            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (th // 8), h // 8 - 1),
+                            0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -229,16 +261,19 @@ def _conv_stats_call(parts_v, Kp, prologue=None):
 
     weights = [Kp] + (list(prologue) if has_prologue else [])
     out, sums = pl.pallas_call(
-        _make_conv_kernel(n_parts, th, c, w, part_ch, h, has_prologue, dtype),
+        _make_conv_kernel(n_parts, th, c, w, part_ch, h, has_prologue, dtype,
+                          look=look),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
+            + ([look_spec(p) for p in range(n_parts)] if look else [])
             + [const(wt.shape) for wt in weights]
         ),
         out_specs=(
             pl.BlockSpec(
                 (None, th, c, w),
-                lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
+                (lambda ni, hi: (ni, hi, 0, 0)) if look
+                else (lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0)),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((2, c), lambda ni, hi: (0, 0), memory_space=pltpu.VMEM),
@@ -248,12 +283,13 @@ def _conv_stats_call(parts_v, Kp, prologue=None):
             jax.ShapeDtypeStruct((2, c), jnp.float32),
         ),
         scratch_shapes=(
-            [pltpu.VMEM((th + 1, part_ch[p], w), dtype) for p in range(n_parts)]
+            [pltpu.VMEM((1 if look else th + 1, part_ch[p], w), dtype)
+             for p in range(n_parts)]
             + [pltpu.VMEM((2, c), jnp.float32)]
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(*parts_v, *weights)
+    )(*(list(parts_v) + list(parts_v) if look else list(parts_v)), *weights)
     return out, sums
 
 
@@ -264,17 +300,21 @@ def _conv_stats_call(parts_v, Kp, prologue=None):
 
 def _make_tail_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                       h_img: int, has_final: bool, dtype,
-                      carry: bool = False):
+                      carry: bool = False, look: bool = False):
     def kernel(*refs):
-        # operands: f2, [x_p ×P], A2, B2, Ws, K1s, K2s, K3s, [KF],
+        # operands: f2, [x_p ×P], [f2look, xlook_p ×P if look],
+        #           A2, B2, Ws, K1s, K2s, K3s, [KF],
         #           (out, y_sav, seg_sav, actv_sav),
         #           [scratch_f2, scratch_p ×P], [yc, segc, actvc]
+        nl = (1 + n_parts) * (1 + int(look))
         f2cur = refs[0]
         xcur = refs[1 : 1 + n_parts]
-        a_ref, b_ref, ws_ref = refs[1 + n_parts : 4 + n_parts]
-        k1s_ref, k2s_ref, k3s_ref = refs[4 + n_parts : 7 + n_parts]
-        kf_ref = refs[7 + n_parts] if has_final else None
-        o_base = 7 + n_parts + int(has_final)
+        f2look = refs[1 + n_parts] if look else None
+        xlook = refs[2 + n_parts : nl] if look else ()
+        a_ref, b_ref, ws_ref = refs[nl : 3 + nl]
+        k1s_ref, k2s_ref, k3s_ref = refs[3 + nl : 6 + nl]
+        kf_ref = refs[6 + nl] if has_final else None
+        o_base = 6 + nl + int(has_final)
         o_ref, y_ref, seg_ref, actv_ref = refs[o_base : o_base + 4]
         scratch_f2 = refs[o_base + 4]
         scratch = refs[o_base + 5 : o_base + 5 + n_parts]
@@ -284,14 +324,24 @@ def _make_tail_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
         f2c = f2cur[:]
         cur = [xcur[p][:] for p in range(n_parts)]
 
-        @pl.when(i > 0)
         def _compute():
-            g0 = (i - 1) * th - 3  # global image row of slab row 0
-            f2h = jnp.concatenate([scratch_f2[:], f2c[0:3]], axis=0)
-            xh_parts = [
-                jnp.concatenate([scratch[p][:], cur[p][0:3]], axis=0)
-                for p in range(n_parts)
-            ]
+            g0 = (i if look else i - 1) * th - 3  # global row of slab row 0
+            first = i == 0 if look else i == 1
+            if look:
+                f2h = jnp.concatenate([scratch_f2[:], f2c, f2look[0:3]],
+                                      axis=0)
+                xh_parts = [
+                    jnp.concatenate(
+                        [scratch[p][:], cur[p], xlook[p][0:3]], axis=0
+                    )
+                    for p in range(n_parts)
+                ]
+            else:
+                f2h = jnp.concatenate([scratch_f2[:], f2c[0:3]], axis=0)
+                xh_parts = [
+                    jnp.concatenate([scratch[p][:], cur[p][0:3]], axis=0)
+                    for p in range(n_parts)
+                ]
 
             def y_row(t):
                 xrow = jnp.concatenate(
@@ -306,13 +356,13 @@ def _make_tail_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                 ).astype(dtype)
 
             if carry:
-                y = _carried_rows(y_row, th + 6, 6, cscr[0], i == 1,
+                y = _carried_rows(y_row, th + 6, 6, cscr[0], first,
                                   g0, h_img)
             else:
                 y = jnp.stack([y_row(t) for t in range(th + 6)], axis=0)
                 y = _zero_outside_image(y, g0, h_img)  # (th+6, C, W)
 
-            tail_carry = (cscr[1], cscr[2], i == 1) if carry else None
+            tail_carry = (cscr[1], cscr[2], first) if carry else None
             out, seg_sav, actv_sav = _spade_tail(
                 y, g0, h_img, k1s_ref, k2s_ref, k3s_ref, dtype,
                 want_saved=True, carry=tail_carry,
@@ -331,6 +381,15 @@ def _make_tail_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                         jnp.dot(kf_ref[:], xr, preferred_element_type=jnp.float32)
                     )
                 o_ref[:] = jnp.stack(fin_rows, axis=0).astype(dtype)
+
+        if look:
+            _compute()
+            scratch_f2[:] = f2c[th - 3 :]
+            for p in range(n_parts):
+                scratch[p][:] = cur[p][th - 3 :]
+            return
+
+        pl.when(i > 0)(_compute)
 
         tail_f2 = scratch_f2[th:]
 
@@ -370,14 +429,29 @@ def _tail_call(f2_v, parts_v, A2, B2, Ws, K1s, K2s, K3s, KF=None,
     part_ch = tuple(p.shape[2] for p in parts_v)
     th = _pick_train_th(h)
     nh = h // th
-    grid = (n, nh + 1)
+    look = lookahead_enabled() and th % 8 == 0 and h % 8 == 0
+    grid = (n, nh) if look else (n, nh + 1)
     dtype = f2_v.dtype
     c_out = c if KF is None else KF.shape[0]
 
     def band_spec(ch):
+        if look:
+            return pl.BlockSpec(
+                (None, th, ch, w),
+                lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (None, th, ch, w),
             lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def look_spec(ch):
+        return pl.BlockSpec(
+            (None, 8, ch, w),
+            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (th // 8), h // 8 - 1),
+                            0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -386,9 +460,10 @@ def _tail_call(f2_v, parts_v, A2, B2, Ws, K1s, K2s, K3s, KF=None,
     )
 
     carry = halo_carry_enabled()
+    sc_rows = 3 if look else th + 3
     scratch = (
-        [pltpu.VMEM((th + 3, c, w), dtype)]
-        + [pltpu.VMEM((th + 3, part_ch[p], w), dtype) for p in range(n_parts)]
+        [pltpu.VMEM((sc_rows, c, w), dtype)]
+        + [pltpu.VMEM((sc_rows, part_ch[p], w), dtype) for p in range(n_parts)]
     )
     if carry:
         scratch += [
@@ -397,19 +472,28 @@ def _tail_call(f2_v, parts_v, A2, B2, Ws, K1s, K2s, K3s, KF=None,
             pltpu.VMEM((2, nhid, w), dtype),  # actv carry
         ]
     weights = [A2, B2, Ws, K1s, K2s, K3s] + ([] if KF is None else [KF])
+    operands = [f2_v] + list(parts_v)
+    if look:
+        operands = operands + operands
     return pl.pallas_call(
         _make_tail_kernel(n_parts, th, c, w, part_ch, h, KF is not None, dtype,
-                          carry=carry),
+                          carry=carry, look=look),
         grid=grid,
         in_specs=(
             [band_spec(c)]
             + [band_spec(part_ch[p]) for p in range(n_parts)]
+            + (
+                [look_spec(c)]
+                + [look_spec(part_ch[p]) for p in range(n_parts)]
+                if look else []
+            )
             + [const(wt.shape) for wt in weights]
         ),
         out_specs=tuple(
             pl.BlockSpec(
                 (None, th, ch, w),
-                lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
+                (lambda ni, hi: (ni, hi, 0, 0)) if look
+                else (lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0)),
                 memory_space=pltpu.VMEM,
             )
             for ch in (c_out, c, lab, nhid)
@@ -421,7 +505,7 @@ def _tail_call(f2_v, parts_v, A2, B2, Ws, K1s, K2s, K3s, KF=None,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(f2_v, *parts_v, *weights)
+    )(*operands, *weights)
 
 
 # ---------------------------------------------------------------------------
@@ -555,16 +639,19 @@ def _train_fwd_impl(parts, bp, sp, head):
 
 
 def _make_wgrad_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
-                       h_img: int, has_prologue: bool = False):
+                       h_img: int, has_prologue: bool = False,
+                       look: bool = False):
     from ssunet_gan_tpu.ops.spade_kernel import _shift_w
 
     def kernel(*refs):
+        nl = n_parts * (1 + int(look))
         xcur = refs[:n_parts]
-        g_ref = refs[n_parts]
+        xlook = refs[n_parts:nl]
+        g_ref = refs[nl]
         if has_prologue:
-            a_ref, b_ref = refs[n_parts + 1 : n_parts + 3]
-        o_ref = refs[n_parts + 1 + 2 * int(has_prologue)]
-        scratch = refs[n_parts + 2 + 2 * int(has_prologue) : -1]
+            a_ref, b_ref = refs[nl + 1 : nl + 3]
+        o_ref = refs[nl + 1 + 2 * int(has_prologue)]
+        scratch = refs[nl + 2 + 2 * int(has_prologue) : -1]
         acc_ref = refs[-1]
 
         i = pl.program_id(1)
@@ -575,12 +662,16 @@ def _make_wgrad_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
         def _zero_acc():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        @pl.when(i > 0)
         def _compute():
-            g0 = (i - 1) * th - 1
+            g0 = (i if look else i - 1) * th - 1
             xh_parts = []
             for p in range(n_parts):
-                xh = jnp.concatenate([scratch[p][:], cur[p][0:1]], axis=0)
+                if look:  # scratch(1) | cur(th) | lookahead(1)
+                    xh = jnp.concatenate(
+                        [scratch[p][:], cur[p], xlook[p][0:1]], axis=0
+                    )
+                else:
+                    xh = jnp.concatenate([scratch[p][:], cur[p][0:1]], axis=0)
                 if has_prologue:  # relu(x·a+b): conv2's wgrad consumes h1r
                     xh = jax.nn.relu(
                         xh.astype(jnp.float32) * a_ref[:] + b_ref[:]
@@ -599,6 +690,15 @@ def _make_wgrad_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                     gband[t], x9, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+
+        if look:
+            _compute()
+            for p in range(n_parts):
+                scratch[p][:] = cur[p][th - 1 :]
+            o_ref[:] = acc_ref[:]
+            return
+
+        pl.when(i > 0)(_compute)
 
         o_ref[:] = acc_ref[:]
 
@@ -670,27 +770,45 @@ def _wgrad_w(parts_v, g_v, w_dtype=jnp.float32, prologue=None):
     part_ch = tuple(p.shape[2] for p in parts_v)
     th = _pick_train_th(h)
     nh = h // th
+    look = lookahead_enabled() and th % 8 == 0 and h % 8 == 0
     dtype = parts_v[0].dtype
     if prologue is not None:
         assert len(parts_v) == 1, "prologue supports a single input"
 
     def cur_spec(ch):
+        if look:
+            return pl.BlockSpec(
+                (None, th, ch, w),
+                lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (None, th, ch, w),
             lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
+    def look_spec(ch):
+        return pl.BlockSpec(
+            (None, 8, ch, w),
+            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (th // 8), h // 8 - 1),
+                            0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     out = pl.pallas_call(
         _make_wgrad_kernel(len(parts_v), th, c, w, part_ch, h,
-                           has_prologue=prologue is not None),
-        grid=(n, nh + 1),
+                           has_prologue=prologue is not None, look=look),
+        grid=(n, nh) if look else (n, nh + 1),
         in_specs=(
             [cur_spec(part_ch[p]) for p in range(len(parts_v))]
+            + ([look_spec(part_ch[p]) for p in range(len(parts_v))]
+               if look else [])
             + [
                 pl.BlockSpec(
                     (None, th, c, w),
-                    lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
+                    (lambda ni, hi: (ni, hi, 0, 0)) if look
+                    else (lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0)),
                     memory_space=pltpu.VMEM,
                 )
             ]
@@ -712,12 +830,14 @@ def _wgrad_w(parts_v, g_v, w_dtype=jnp.float32, prologue=None):
         ),
         out_shape=jax.ShapeDtypeStruct((c, 9 * sum(part_ch)), jnp.float32),
         scratch_shapes=(
-            [pltpu.VMEM((th + 1, part_ch[p], w), dtype) for p in range(len(parts_v))]
+            [pltpu.VMEM((1 if look else th + 1, part_ch[p], w), dtype)
+             for p in range(len(parts_v))]
             + [pltpu.VMEM((c, 9 * sum(part_ch)), jnp.float32)]
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(*parts_v, g_v, *(() if prologue is None else tuple(prologue)))
+    )(*(list(parts_v) + list(parts_v) if look else list(parts_v)), g_v,
+      *(() if prologue is None else tuple(prologue)))
 
     # unpack (C, parts-major tap-major cols) → HWIO (3, 3, ΣCp, C)
     blocks = []

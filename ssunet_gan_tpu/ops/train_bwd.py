@@ -48,7 +48,7 @@ from ssunet_gan_tpu.ops.spade_kernel import (
     _interpret,
     _zero_outside_image,
 )
-from ssunet_gan_tpu.ops.stage_kernel import _VMEM_LIMIT
+from ssunet_gan_tpu.ops.stage_kernel import _VMEM_LIMIT, lookahead_enabled
 
 
 # ---------------------------------------------------------------------------
@@ -58,23 +58,28 @@ from ssunet_gan_tpu.ops.stage_kernel import _VMEM_LIMIT
 
 def _make_fused_kernel(n_pro: int, n_epi: int, n_const: int, th: int,
                        h_img: int, pro_fn, epi_fn, n_stats: int, dtype,
-                       out_chs=None):
+                       out_chs=None, look: bool = False):
     """Kernel: out = epi(conv3(zero_pad(pro(halo_slabs)), K), epi_bands).
 
-    Operand order: [pro ×n_pro], [epi ×n_epi], K, [const ×n_const],
-    [out ×n_out], [stats], [scratch ×n_pro], [acc]. ``out_chs`` (len > 1)
-    splits the epilogue band channel-wise over several outputs (e.g. the
-    input gradient of a split-concat conv emitted per part — no XLA
-    slices, and each part grad keeps its consumer's natural operand).
+    Operand order: [pro ×n_pro], [pro_look ×n_pro if look], [epi ×n_epi],
+    K, [const ×n_const], [out ×n_out], [stats], [scratch ×n_pro], [acc].
+    ``out_chs`` (len > 1) splits the epilogue band channel-wise over
+    several outputs (e.g. the input gradient of a split-concat conv
+    emitted per part — no XLA slices, and each part grad keeps its
+    consumer's natural operand). ``look`` = the prologue-free lookahead
+    grid (ops/stage_kernel.set_lookahead): 1-row scratch + an 8-row
+    lookahead view of the next band, grid (n, nh).
     """
     n_out = 1 if out_chs is None else len(out_chs)
 
     def kernel(*refs):
+        nl = n_pro * (1 + int(look))
         pro = refs[:n_pro]
-        epi = refs[n_pro : n_pro + n_epi]
-        k_ref = refs[n_pro + n_epi]
-        consts = refs[n_pro + n_epi + 1 : n_pro + n_epi + 1 + n_const]
-        base = n_pro + n_epi + 1 + n_const
+        pro_look = refs[n_pro:nl]
+        epi = refs[nl : nl + n_epi]
+        k_ref = refs[nl + n_epi]
+        consts = refs[nl + n_epi + 1 : nl + n_epi + 1 + n_const]
+        base = nl + n_epi + 1 + n_const
         o_refs = refs[base : base + n_out]
         if n_stats:
             s_ref = refs[base + n_out]
@@ -93,13 +98,20 @@ def _make_fused_kernel(n_pro: int, n_epi: int, n_const: int, th: int,
             def _zero_acc():
                 acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        @pl.when(i > 0)
         def _compute():
-            g0 = (i - 1) * th - 1  # global image row of slab row 0
-            slabs = [
-                jnp.concatenate([scratch[p][:], cur[p][0:1]], axis=0)
-                for p in range(n_pro)
-            ]
+            g0 = (i if look else i - 1) * th - 1  # global row of slab row 0
+            if look:
+                slabs = [
+                    jnp.concatenate(
+                        [scratch[p][:], cur[p], pro_look[p][0:1]], axis=0
+                    )
+                    for p in range(n_pro)
+                ]
+            else:
+                slabs = [
+                    jnp.concatenate([scratch[p][:], cur[p][0:1]], axis=0)
+                    for p in range(n_pro)
+                ]
             cvals = [c[:] for c in consts]
             xin = slabs[0] if pro_fn is None else pro_fn(slabs, cvals)
             xin = _zero_outside_image(xin, g0, h_img)
@@ -121,6 +133,16 @@ def _make_fused_kernel(n_pro: int, n_epi: int, n_const: int, th: int,
             if n_stats:
                 for j, sv in enumerate(stats):
                     acc_ref[j] = acc_ref[j] + sv
+
+        if look:
+            _compute()
+            for p in range(n_pro):
+                scratch[p][:] = cur[p][th - 1 :]
+            if n_stats:
+                s_ref[:] = acc_ref[:]
+            return
+
+        pl.when(i > 0)(_compute)
 
         if n_stats:
             s_ref[:] = acc_ref[:]
@@ -169,20 +191,41 @@ def fused_conv3_call(
     n, h, _, w = pro_bands[0].shape
     dtype = Kp.dtype
     nh = h // th
-    grid = (n, nh + 1)
+    look = lookahead_enabled() and th % 8 == 0 and h % 8 == 0
+    grid = (n, nh) if look else (n, nh + 1)
     pro_ch = tuple(p.shape[2] for p in pro_bands)
     epi_ch = tuple(e.shape[2] for e in epi_bands)
     out_chs = (out_ch,) if isinstance(out_ch, int) else tuple(out_ch)
     split_out = not isinstance(out_ch, int)
 
     def pro_spec(ch):
+        if look:
+            return pl.BlockSpec(
+                (None, th, ch, w),
+                lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (None, th, ch, w),
             lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
+    def look_spec(ch):
+        return pl.BlockSpec(
+            (None, 8, ch, w),
+            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (th // 8), h // 8 - 1),
+                            0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     def out_aligned_spec(ch):
+        if look:
+            return pl.BlockSpec(
+                (None, th, ch, w),
+                lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (None, th, ch, w),
             lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
@@ -205,19 +248,21 @@ def fused_conv3_call(
         )
         out_shape += (jax.ShapeDtypeStruct((n_stats, c_stat), jnp.float32),)
 
-    scratch = [pltpu.VMEM((th + 1, ch, w), pro_bands[i].dtype)
+    scratch = [pltpu.VMEM((1 if look else th + 1, ch, w), pro_bands[i].dtype)
                for i, ch in enumerate(pro_ch)]
     if n_stats:
         scratch += [pltpu.VMEM((n_stats, c_stat), jnp.float32)]
 
     single = len(out_specs) == 1
+    pro_ops = list(pro_bands) + (list(pro_bands) if look else [])
     res = pl.pallas_call(
         _make_fused_kernel(len(pro_bands), len(epi_bands), len(consts), th,
                            h, pro_fn, epi_fn, n_stats, dtype,
-                           out_chs if split_out else None),
+                           out_chs if split_out else None, look=look),
         grid=grid,
         in_specs=(
             [pro_spec(ch) for ch in pro_ch]
+            + ([look_spec(ch) for ch in pro_ch] if look else [])
             + [out_aligned_spec(ch) for ch in epi_ch]
             + [const_spec(Kp.shape)]
             + [const_spec(c.shape) for c in consts]
@@ -227,7 +272,7 @@ def fused_conv3_call(
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(*pro_bands, *epi_bands, Kp, *consts)
+    )(*pro_ops, *epi_bands, Kp, *consts)
     if single:
         return ((res,) if split_out else res), None
     outs = res[: len(out_chs)]
@@ -243,15 +288,18 @@ def fused_conv3_call(
 
 
 def _make_wgrad_fused_kernel(n_x: int, n_g: int, n_const: int, th: int,
-                             h_img: int, x_pro_fn, g_pro_fn, dtype):
+                             h_img: int, x_pro_fn, g_pro_fn, dtype,
+                             look: bool = False):
     from ssunet_gan_tpu.ops.spade_kernel import _shift_w
 
     def kernel(*refs):
+        nl = n_x * (1 + int(look))
         x = refs[:n_x]
-        g = refs[n_x : n_x + n_g]
-        consts = refs[n_x + n_g : n_x + n_g + n_const]
-        o_ref = refs[n_x + n_g + n_const]
-        scratch = refs[n_x + n_g + n_const + 1 : -1]
+        xlook = refs[n_x:nl]
+        g = refs[nl : nl + n_g]
+        consts = refs[nl + n_g : nl + n_g + n_const]
+        o_ref = refs[nl + n_g + n_const]
+        scratch = refs[nl + n_g + n_const + 1 : -1]
         acc_ref = refs[-1]
 
         i = pl.program_id(1)
@@ -262,13 +310,20 @@ def _make_wgrad_fused_kernel(n_x: int, n_g: int, n_const: int, th: int,
         def _zero_acc():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        @pl.when(i > 0)
         def _compute():
-            g0 = (i - 1) * th - 1
-            slabs = [
-                jnp.concatenate([scratch[p][:], cur[p][0:1]], axis=0)
-                for p in range(n_x)
-            ]
+            g0 = (i if look else i - 1) * th - 1
+            if look:
+                slabs = [
+                    jnp.concatenate(
+                        [scratch[p][:], cur[p], xlook[p][0:1]], axis=0
+                    )
+                    for p in range(n_x)
+                ]
+            else:
+                slabs = [
+                    jnp.concatenate([scratch[p][:], cur[p][0:1]], axis=0)
+                    for p in range(n_x)
+                ]
             cvals = [c[:] for c in consts]
             if x_pro_fn is not None:
                 slabs = [x_pro_fn(slabs, cvals)]
@@ -287,6 +342,15 @@ def _make_wgrad_fused_kernel(n_x: int, n_g: int, n_const: int, th: int,
                     gband[t], x9, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+
+        if look:
+            _compute()
+            for p in range(n_x):
+                scratch[p][:] = cur[p][th - 1 :]
+            o_ref[:] = acc_ref[:]
+            return
+
+        pl.when(i > 0)(_compute)
 
         o_ref[:] = acc_ref[:]
 
@@ -326,17 +390,38 @@ def fused_wgrad_call(
     n, h, _, w = x_bands[0].shape
     dtype = x_bands[0].dtype
     nh = h // th
+    look = lookahead_enabled() and th % 8 == 0 and h % 8 == 0
     x_ch = tuple(p.shape[2] for p in x_bands)
     g_ch = tuple(p.shape[2] for p in g_bands)
 
     def halo_spec(ch):
+        if look:
+            return pl.BlockSpec(
+                (None, th, ch, w),
+                lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (None, th, ch, w),
             lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
+    def look_spec(ch):
+        return pl.BlockSpec(
+            (None, 8, ch, w),
+            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (th // 8), h // 8 - 1),
+                            0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     def flat_spec(ch):
+        if look:
+            return pl.BlockSpec(
+                (None, th, ch, w),
+                lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (None, th, ch, w),
             lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
@@ -348,12 +433,14 @@ def fused_wgrad_call(
         memory_space=pltpu.VMEM,
     )
 
+    x_ops = list(x_bands) + (list(x_bands) if look else [])
     out = pl.pallas_call(
         _make_wgrad_fused_kernel(len(x_bands), len(g_bands), len(consts), th,
-                                 h, x_pro_fn, g_pro_fn, dtype),
-        grid=(n, nh + 1),
+                                 h, x_pro_fn, g_pro_fn, dtype, look=look),
+        grid=(n, nh) if look else (n, nh + 1),
         in_specs=(
             [halo_spec(ch) for ch in x_ch]
+            + ([look_spec(ch) for ch in x_ch] if look else [])
             + [flat_spec(ch) for ch in g_ch]
             + [const_spec(c.shape) for c in consts]
         ),
@@ -361,13 +448,13 @@ def fused_wgrad_call(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((c_out, 9 * c_in), jnp.float32),
         scratch_shapes=(
-            [pltpu.VMEM((th + 1, ch, w), x_bands[i].dtype)
+            [pltpu.VMEM((1 if look else th + 1, ch, w), x_bands[i].dtype)
              for i, ch in enumerate(x_ch)]
             + [pltpu.VMEM((c_out, 9 * c_in), jnp.float32)]
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(*x_bands, *g_bands, *consts)
+    )(*x_ops, *g_bands, *consts)
 
     # unpack (c_out, parts-major tap-major) → HWIO (3, 3, c_in, c_out)
     x_ch_eff = (c_in,) if x_pro_fn is not None else x_ch

@@ -29,6 +29,7 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--trace", default="")
+    ap.add_argument("--lookahead", default="", choices=("", "on", "off"))
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -42,6 +43,11 @@ def main(argv=None):
     from ssunet_gan_tpu.train.state import TrainState
     from ssunet_gan_tpu.train.step import make_train_step
     from ssunet_gan_tpu.utils import jit_init
+
+    if args.lookahead:
+        from ssunet_gan_tpu.ops.stage_kernel import set_lookahead
+
+        set_lookahead(args.lookahead == "on")
 
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
