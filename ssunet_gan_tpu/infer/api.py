@@ -278,7 +278,10 @@ def _norm_consts():
 def _get_forward(model, variables, mesh, normalize: bool = False):
     from ssunet_gan_tpu.ops.spade_kernel import fused_spade_mode
     from ssunet_gan_tpu.ops.stage_kernel import (
+        _BAND_ROWS,
         fused_stage_enabled,
+        halo_carry_enabled,
+        lookahead_enabled,
         seg_stack_enabled,
     )
     from ssunet_gan_tpu.ops.stage_kernel_int8 import (
@@ -288,7 +291,8 @@ def _get_forward(model, variables, mesh, normalize: bool = False):
 
     key = (model, mesh, id(variables), normalize, fused_spade_mode(),
            fused_stage_enabled(), int8_stage_enabled(),
-           id(int8_calibration()), seg_stack_enabled(int8_stage_enabled()))
+           id(int8_calibration()), seg_stack_enabled(int8_stage_enabled()),
+           lookahead_enabled(), halo_carry_enabled(), _BAND_ROWS)
     hit = _FORWARD_CACHE.get(key)
     if hit is not None:
         return hit[0], hit[1]

@@ -813,32 +813,48 @@ def fused_eval_stage(
 
 def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                        h_img: int, has_final: bool, sub_w: int = 0,
-                       seg_r: int = 0, seg_lab: int = 0, carry: bool = False):
+                       seg_r: int = 0, seg_lab: int = 0, carry: bool = False,
+                       look: bool = False):
     L = 4
 
     def kernel(*refs):
+        # operand order: [xcur_p ×P] [xlook_p ×P if look] weights..., out,
+        #                [scratch_p ×P], [carry refs]
+        nl = n_parts * (1 + int(look))
         xcur = refs[:n_parts]
-        k1b_ref, k2b_ref, k3sc_ref = refs[n_parts : n_parts + 3]
-        k1s_ref, k2s_ref, k3s_ref = refs[n_parts + 3 : n_parts + 6]
-        kf_ref = refs[n_parts + 6] if has_final else None
-        o_ref = refs[n_parts + 6 + int(has_final)]
-        scratch = refs[n_parts + 7 + int(has_final) :]
+        xlook = refs[n_parts:nl]
+        k1b_ref, k2b_ref, k3sc_ref = refs[nl : nl + 3]
+        k1s_ref, k2s_ref, k3s_ref = refs[nl + 3 : nl + 6]
+        kf_ref = refs[nl + 6] if has_final else None
+        o_ref = refs[nl + 6 + int(has_final)]
+        scratch = refs[nl + 7 + int(has_final) :]
         cscr = scratch[n_parts:]  # halo-carry refs (empty when carry=False)
 
         i = pl.program_id(1)
         dtype = o_ref.dtype
         cur = [xcur[p][:] for p in range(n_parts)]
 
-        @pl.when(i > 0)
         def _compute():
-            g0 = (i - 1) * th - L  # global image row of xh row 0
-            xh_parts = [
-                _zero_outside_image(
-                    jnp.concatenate([scratch[p][:], cur[p][0:L]], axis=0),
-                    g0, h_img,
-                ).astype(dtype)
-                for p in range(n_parts)
-            ]
+            first = i == 0 if look else i == 1
+            g0 = (i if look else i - 1) * th - L  # global row of xh row 0
+            if look:  # scratch(4) | cur(th) | lookahead(4)
+                xh_parts = [
+                    _zero_outside_image(
+                        jnp.concatenate(
+                            [scratch[p][:], cur[p], xlook[p][0:L]], axis=0
+                        ),
+                        g0, h_img,
+                    ).astype(dtype)
+                    for p in range(n_parts)
+                ]
+            else:  # scratch(th+4) | cur(4)
+                xh_parts = [
+                    _zero_outside_image(
+                        jnp.concatenate([scratch[p][:], cur[p][0:L]], axis=0),
+                        g0, h_img,
+                    ).astype(dtype)
+                    for p in range(n_parts)
+                ]
             ones_row = jnp.ones((1, w), dtype)
 
             # conv1 (1×1) + bn1 + relu, per-row dot over [x parts | 1];
@@ -852,7 +868,7 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                 return jax.nn.relu(acc).astype(dtype)
 
             if carry:
-                h1 = _carried_rows(h1_row, th + 2 * L, 2 * L, cscr[0], i == 1,
+                h1 = _carried_rows(h1_row, th + 2 * L, 2 * L, cscr[0], first,
                                    g0, h_img)
             else:
                 h1 = jnp.stack([h1_row(t) for t in range(th + 2 * L)], axis=0)
@@ -862,7 +878,7 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
             h2_row = _conv3_row_fn([h1], k2b_ref[:], dtype, sub_w,
                                    post=lambda r: jax.nn.relu(r).astype(dtype))
             if carry:
-                h2 = _carried_rows(h2_row, th + 6, 6, cscr[1], i == 1,
+                h2 = _carried_rows(h2_row, th + 6, 6, cscr[1], first,
                                    g0 + 1, h_img)
             else:
                 h2 = jnp.stack([h2_row(t) for t in range(th + 6)], axis=0)
@@ -883,7 +899,7 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                 return jax.nn.relu(acc).astype(dtype)
 
             if carry:
-                y = _carried_rows(y_row, th + 6, 6, cscr[2], i == 1,
+                y = _carried_rows(y_row, th + 6, 6, cscr[2], first,
                                   g0 + 1, h_img)
             else:
                 y = jnp.stack([y_row(t) for t in range(th + 6)], axis=0)
@@ -891,7 +907,7 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
 
             tail_carry = None
             if carry:
-                tail_carry = (None if seg_r else cscr[3], cscr[-1], i == 1)
+                tail_carry = (None if seg_r else cscr[3], cscr[-1], first)
             out = _spade_tail(
                 y, g0 + 1, h_img, k1s_ref, k2s_ref, k3s_ref, dtype, sub_w,
                 seg_r=seg_r, seg_lab=seg_lab, carry=tail_carry,
@@ -907,18 +923,28 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                     fin_rows.append(acc.astype(dtype))
                 o_ref[:] = jnp.stack(fin_rows, axis=0)
 
-        for p in range(n_parts):
-            tail = scratch[p][th:]
+        if look:
+            # no prologue step: band i computes from scratch (last 4 rows of
+            # block i−1; stale for i=0, masked), block i and the 4-row
+            # lookahead view of block i+1
+            _compute()
+            for p in range(n_parts):
+                scratch[p][:] = cur[p][th - L :]
+        else:
+            pl.when(i > 0)(_compute)
 
-            @pl.when(i == 0)
-            def _init(p=p):
-                scratch[p][0:L] = jnp.zeros_like(scratch[p][0:L])
-                scratch[p][L:] = cur[p]
+            for p in range(n_parts):
+                tail = scratch[p][th:]
 
-            @pl.when(i > 0)
-            def _roll(p=p, tail=tail):
-                scratch[p][0:L] = tail
-                scratch[p][L:] = cur[p]
+                @pl.when(i == 0)
+                def _init(p=p):
+                    scratch[p][0:L] = jnp.zeros_like(scratch[p][0:L])
+                    scratch[p][L:] = cur[p]
+
+                @pl.when(i > 0)
+                def _roll(p=p, tail=tail):
+                    scratch[p][0:L] = tail
+                    scratch[p][L:] = cur[p]
 
     return kernel
 
@@ -1015,13 +1041,30 @@ def fused_eval_stage_bneck(
         n, w = n // f, w * f
     part_ch = tuple(p.shape[2] for p in parts_v)
     th = 8
+    L_BN = 4  # bneck halo rows (conv2 ring + 3 SPADE rings)
     nh_grid = h // th
     c_out = c if KF is None else KF.shape[0]
+    look = lookahead_enabled() and h % 8 == 0
 
     def cur_spec(p):
+        if look:
+            return pl.BlockSpec(
+                (None, th, part_ch[p], w),
+                lambda ni, hi: (ni, hi, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (None, th, part_ch[p], w),
             lambda ni, hi: (ni, jnp.minimum(hi, nh_grid - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def look_spec(p):
+        # 8-row window at the next band's first rows, clamped into the image
+        # for the last band — those rows are ≥ h and masked in-kernel
+        return pl.BlockSpec(
+            (None, 8, part_ch[p], w),
+            lambda ni, hi: (ni, jnp.minimum(hi + 1, nh_grid - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -1034,7 +1077,8 @@ def fused_eval_stage_bneck(
         K1s = pack_seg_stacked(k1s, b1s, seg_r, dtype)
     carry = halo_carry_enabled()
     scratch = [
-        pltpu.VMEM((th + 4, part_ch[p], w), dtype) for p in range(len(parts))
+        pltpu.VMEM((L_BN if look else th + L_BN, part_ch[p], w), dtype)
+        for p in range(len(parts))
     ]
     if carry:
         scratch += [
@@ -1048,22 +1092,24 @@ def fused_eval_stage_bneck(
     weights = [K1B, K2B, K3SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
     outv = pl.pallas_call(
         _make_bneck_kernel(len(parts), th, c, w, part_ch, h, KF is not None,
-                           sub_w, seg_r, lab, carry=carry),
-        grid=(n, nh_grid + 1),
+                           sub_w, seg_r, lab, carry=carry, look=look),
+        grid=(n, nh_grid) if look else (n, nh_grid + 1),
         in_specs=(
             [cur_spec(p) for p in range(len(parts))]
+            + ([look_spec(p) for p in range(len(parts))] if look else [])
             + [const(wt.shape) for wt in weights]
         ),
         out_specs=pl.BlockSpec(
             (None, th, c_out, w),
-            lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0),
+            (lambda ni, hi: (ni, hi, 0, 0)) if look
+            else (lambda ni, hi: (ni, jnp.maximum(hi - 1, 0), 0, 0)),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),
-    )(*parts_v, *weights)
+    )(*((list(parts_v) + list(parts_v)) if look else parts_v), *weights)
     if f > 1:
         outv = _unpack_lanes(outv, f)
     elif emit_wminor and KF is None:

@@ -489,3 +489,36 @@ def test_lookahead_model_parity(rng):
         set_lookahead(None)
         set_fused_stage(None)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+def test_bneck_lookahead_grid_matches_prologue(rng):
+    """The bneck variant of the lookahead grid (4-row scratch + 4-row
+    next-band view, grid (n, nh)) is bit-exact vs the prologue grid."""
+    from ssunet_gan_tpu.ops.blocks import Bottleneck
+    from ssunet_gan_tpu.ops.stage_kernel import (
+        fused_eval_stage_bneck,
+        set_lookahead,
+    )
+
+    planes, cin = 16, 8
+    x = jnp.asarray(rng.normal(size=(1, 24, 16, cin)).astype(np.float32))
+    block = Bottleneck(planes, in_planes=cin)
+    bvars = jax.jit(lambda: block.init(jax.random.PRNGKey(3), x, True))()
+    spade = SPADE("spadebatch3x3", planes, 3, 4.0)
+    y0 = jnp.zeros(x.shape[:3] + (planes,), jnp.float32)
+    svars = jax.jit(lambda: spade.init(jax.random.PRNGKey(4), y0, y0))()
+    bp = block.apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+
+    try:
+        set_lookahead(False)
+        want = fused_eval_stage_bneck((x,), bp, sp)
+        set_lookahead(True)
+        got = fused_eval_stage_bneck((x,), bp, sp)
+    finally:
+        set_lookahead(None)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    y = block.apply(bvars, x, False)
+    ref = spade.apply(svars, y, y)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )

@@ -254,3 +254,40 @@ def test_train_step_parity_fused(rng):
         float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(la, lb)
     )
     assert worst < 5e-3, worst
+
+def test_train_lookahead_grid_matches_prologue(rng):
+    """The lookahead grid in the train kernels (1-row scratch + 8-row
+    next-band view, no prologue step) is bit-exact vs the prologue grid:
+    forward outputs, batch stats AND gradients."""
+    from ssunet_gan_tpu.ops.stage_kernel import set_lookahead
+    from ssunet_gan_tpu.ops.wminor import to_nhwc
+
+    shapes = [(1, 64, 16, 8), (1, 64, 16, 16)]  # multi-band, split-concat
+    bp, sp, parts = _train_bundles(16, 3, shapes, 4.0, rng)
+    cot = jnp.asarray(
+        rng.normal(size=(1, 64, 16, 16)).astype(np.float32)
+    )
+
+    def run(parts, bp, sp):
+        out, stats = fused_train_stage(parts, bp, sp, None)
+        return jnp.sum(to_nhwc(out) * cot), (to_nhwc(out), stats)
+
+    try:
+        set_lookahead(False)
+        (_, (out_a, st_a)), g_a = jax.value_and_grad(
+            run, argnums=(0, 1, 2), has_aux=True)(parts, bp, sp)
+        set_lookahead(True)
+        (_, (out_b, st_b)), g_b = jax.value_and_grad(
+            run, argnums=(0, 1, 2), has_aux=True)(parts, bp, sp)
+    finally:
+        set_lookahead(None)
+
+    np.testing.assert_array_equal(np.asarray(out_b), np.asarray(out_a))
+    for (m, v), (wm, wv) in zip(st_b, st_a):
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(wm))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(wv))
+    flat_a, _ = jax.tree_util.tree_flatten(g_a)
+    flat_b, _ = jax.tree_util.tree_flatten(g_b)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
