@@ -286,8 +286,12 @@ def test_train_lookahead_grid_matches_prologue(rng):
     for (m, v), (wm, wv) in zip(st_b, st_a):
         np.testing.assert_array_equal(np.asarray(m), np.asarray(wm))
         np.testing.assert_array_equal(np.asarray(v), np.asarray(wv))
+    # grads: the two grids compile different programs, so the XLA-side
+    # backward reductions may re-associate — tight parity, not bit-exact
     flat_a, _ = jax.tree_util.tree_flatten(g_a)
     flat_b, _ = jax.tree_util.tree_flatten(g_b)
     assert len(flat_a) == len(flat_b)
     for a, b in zip(flat_a, flat_b):
-        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
+        assert rel < 1e-5, rel
