@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ssunet_gan_tpu.ops.collectives import psum_if
+
 SMOOTH = 1e-5
 
 
@@ -28,8 +30,9 @@ def iou_score(output_logits: jax.Array, target: jax.Array) -> jax.Array:
     probs = jax.nn.sigmoid(output_logits.astype(jnp.float32))
     out_bin = jnp.where(jnp.isnan(probs), False, probs > 0.5)
     tar_bin = target.astype(jnp.float32) > 0.5
-    intersection = jnp.sum(out_bin & tar_bin)
-    union = jnp.sum(out_bin | tar_bin)
+    # psum_if: global sums under the shard_map train path (no-op otherwise)
+    intersection = psum_if(jnp.sum(out_bin & tar_bin))
+    union = psum_if(jnp.sum(out_bin | tar_bin))
     return (intersection + SMOOTH) / (union + SMOOTH)
 
 
@@ -37,8 +40,10 @@ def dice_coef(output_logits: jax.Array, target: jax.Array) -> jax.Array:
     """Soft dice on sigmoid probabilities, no threshold (metrics.py:25-35)."""
     probs = jax.nn.sigmoid(output_logits.astype(jnp.float32)).reshape(-1)
     target = target.astype(jnp.float32).reshape(-1)
-    intersection = jnp.sum(probs * target)
-    return (2.0 * intersection + SMOOTH) / (jnp.sum(probs) + jnp.sum(target) + SMOOTH)
+    intersection = psum_if(jnp.sum(probs * target))
+    return (2.0 * intersection + SMOOTH) / (
+        psum_if(jnp.sum(probs)) + psum_if(jnp.sum(target)) + SMOOTH
+    )
 
 
 def foreground_slice(x: jax.Array, num_classes: int) -> jax.Array:

@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ssunet_gan_tpu.ops import collectives
+
 
 class BatchNorm(nn.Module):
     """Torch-semantics BatchNorm over NHWC (reduces axes 0,1,2).
@@ -107,9 +109,14 @@ class BatchNorm(nn.Module):
         xf = x.astype(compute_dtype)
         reduce_axes = tuple(range(x.ndim - 1))
 
-        mean = jnp.mean(xf, axis=reduce_axes)
-        var = jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
-        n = 1
+        # under the shard_map train path (collectives.train_axis active) the
+        # batch axis is mapped, so SyncBN needs explicit cross-shard pmeans;
+        # under GSPMD these are identity and jnp.mean is already global
+        mean = collectives.pmean_if(jnp.mean(xf, axis=reduce_axes))
+        var = collectives.pmean_if(
+            jnp.mean(jnp.square(xf - mean), axis=reduce_axes)
+        )
+        n = collectives.axis_size()
         for ax in reduce_axes:
             n *= x.shape[ax]
         unbiased_var = var * (n / max(n - 1, 1))

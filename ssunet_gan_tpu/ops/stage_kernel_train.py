@@ -38,9 +38,11 @@ Running-stat updates stay OUTSIDE this pure function: the stage returns the
 batch (mean, unbiased var) pairs and the flax dispatch writes them through
 ``BatchNorm(..., batch_stats=...)`` (torch momentum-0.1 semantics).
 
-Scope: BasicBlock stages (the R_SS family — archs.py:205-241,469-671),
-single-device meshes (training under multi-chip DP needs cross-device BN
-stats — the XLA composition path keeps providing exactly that).
+Scope: BasicBlock stages (the R_SS family — archs.py:205-241,469-671).
+Multi-chip DP runs under ``jax.shard_map`` (train/step.py ``mesh=``): the
+kernels see the local batch shard and SyncBN semantics come from psumming
+the inter-kernel stat sums (ops/collectives.py); GSPMD traces keep the XLA
+composition (no SPMD rule for the Pallas calls).
 
 References: /root/reference/scripts/train.py:79-120 (the hot loop this
 accelerates), archs.py:205-241, normalization.py:94-120.
@@ -56,6 +58,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ssunet_gan_tpu.ops import collectives
 from ssunet_gan_tpu.ops.acts import WTensor
 from ssunet_gan_tpu.ops.spade_kernel import (
     _carried_rows,
@@ -101,7 +104,15 @@ def set_fused_train(enabled: Optional[bool]) -> None:
 
 def fused_train_enabled() -> bool:
     if _FUSED_TRAIN is None:
-        return jax.default_backend() == "tpu" and jax.device_count() == 1
+        # default ON for single-chip TPU, and for multi-chip DP when the
+        # shard_map train path is active (collectives.train_axis — each
+        # device runs the kernels on its local shard with psummed stats);
+        # GSPMD multi-chip traces stay on the composition (no SPMD rule
+        # for the Pallas calls)
+        return jax.default_backend() == "tpu" and (
+            jax.device_count() == 1
+            or collectives.current_axis() is not None
+        )
     return bool(_FUSED_TRAIN)
 
 
@@ -588,20 +599,23 @@ def _train_fwd_impl(parts, bp, sp, head):
     dtype = parts[0].dtype
     c = k2.shape[-1]
     n, h, w = parts[0].shape[0], parts[0].shape[1], parts[0].shape[2]
-    count = n * h * w
+    # under the shard_map DP path the kernels see the LOCAL batch shard;
+    # SyncBN semantics come from psumming the raw (Σx, Σx²) sums between
+    # kernels and using the global element count (no-ops single-device)
+    count = n * h * w * collectives.axis_size()
     part_ch = [p.shape[-1] for p in parts]
 
     parts_v = _wminor_views(parts)
     K1 = _pack_conv(k1, part_ch, dtype=dtype)
     f1_v, sums1 = _conv_stats_call(parts_v, K1)
-    mean1, var1, uvar1 = _stats_from_sums(sums1, count)
+    mean1, var1, uvar1 = _stats_from_sums(collectives.psum_if(sums1), count)
     a1, b1 = _affine(g1, be1, mean1, var1)
 
     K2 = _pack_conv(k2, [c], dtype=dtype)
     f2_v, sums2 = _conv_stats_call(
         [f1_v], K2, prologue=(_tile(a1, w), _tile(b1, w))
     )
-    mean2, var2, uvar2 = _stats_from_sums(sums2, count)
+    mean2, var2, uvar2 = _stats_from_sums(collectives.psum_if(sums2), count)
     a2, b2 = _affine(g2, be2, mean2, var2)
 
     offs = [0]
@@ -952,7 +966,7 @@ def _train_bwd_rule(res, cts):
     dtype = f1_v.dtype
     c = k2.shape[-1]
     n, hh, _, w = f1_v.shape
-    count = n * hh * w
+    count = n * hh * w * collectives.axis_size()  # global (shard_map DP)
     part_ch = [p.shape[-1] for p in parts]
     csum = sum(part_ch)
     parts_v = _wminor_views(parts)
@@ -1036,13 +1050,17 @@ def _train_bwd_rule(res, cts):
     # --- bn2 (batch stats; gradient includes the μ/σ terms) ---
     r2 = jax.lax.rsqrt(var2 + BN_EPS)
     xhat2 = (f2_v.astype(jnp.float32) - _cvec(mean2)) * _cvec(r2)
+    # param grads stay LOCAL partial sums (the DP wrapper pmeans the grad
+    # tree); the batch-stat terms of the input grad need the GLOBAL sums —
+    # that psum is exactly the transpose of the forward's stat psum
     s_g2 = jnp.sum(g_pre, axis=(0, 1, 3))
     s_gx2 = jnp.sum(g_pre * xhat2, axis=(0, 1, 3))
     g_g2 = s_gx2.astype(g2.dtype)
     g_be2 = s_g2.astype(be2.dtype)
+    s_g2g, s_gx2g = collectives.psum_if(s_g2), collectives.psum_if(s_gx2)
     g_f2 = (
         _cvec(g2 * r2)
-        * (g_pre - _cvec(s_g2) / count - xhat2 * (_cvec(s_gx2) / count))
+        * (g_pre - _cvec(s_g2g) / count - xhat2 * (_cvec(s_gx2g) / count))
     ).astype(dtype)
 
     # --- conv2: backward-data + weight grad (h1r recomputed in-kernel) ---
@@ -1060,9 +1078,10 @@ def _train_bwd_rule(res, cts):
     s_gx1 = jnp.sum(g_n1 * xhat1, axis=(0, 1, 3))
     g_g1 = s_gx1.astype(g1.dtype)
     g_be1 = s_g1.astype(be1.dtype)
+    s_g1g, s_gx1g = collectives.psum_if(s_g1), collectives.psum_if(s_gx1)
     g_f1 = (
         _cvec(g1 * r1)
-        * (g_n1 - _cvec(s_g1) / count - xhat1 * (_cvec(s_gx1) / count))
+        * (g_n1 - _cvec(s_g1g) / count - xhat1 * (_cvec(s_gx1g) / count))
     ).astype(dtype)
 
     # --- conv1: backward-data + weight grad ---

@@ -48,6 +48,7 @@ from ssunet_gan_tpu.ops.spade_kernel import (
     _interpret,
     _zero_outside_image,
 )
+from ssunet_gan_tpu.ops import collectives
 from ssunet_gan_tpu.ops.stage_kernel import _VMEM_LIMIT, lookahead_enabled
 
 
@@ -509,7 +510,7 @@ def train_bwd_v3(res, cts):
     dtype = f1_v.dtype
     c = k2.shape[-1]
     n, hh, _, w = f1_v.shape
-    count = n * hh * w
+    count = n * hh * w * collectives.axis_size()  # global (shard_map DP)
     part_ch = [p.shape[-1] for p in parts]
     csum = sum(part_ch)
     parts_v = _wminor_views(parts)
@@ -636,8 +637,10 @@ def train_bwd_v3(res, cts):
     s_g2, s_gx2 = st5[0], st5[1]
     g_bg = st5[2].astype(bgs.dtype)
     g_bb = st5[3].astype(bbs.dtype)
-    g_g2 = s_gx2.astype(g2.dtype)
-    g_be2 = s_g2.astype(be2.dtype)
+    g_g2 = s_gx2.astype(g2.dtype)       # param grads: LOCAL partial sums
+    g_be2 = s_g2.astype(be2.dtype)      # (the DP wrapper pmeans the tree)
+    # input-grad stat terms need the GLOBAL sums (SyncBN backward)
+    s_g2, s_gx2 = collectives.psum_if(s_g2), collectives.psum_if(s_gx2)
     g_k1s = fused_wgrad_call(
         [y_v], [g_seg_v], c_out=lab, c_in=c, th=th, w_dtype=k1s.dtype,
     )
@@ -701,6 +704,7 @@ def train_bwd_v3(res, cts):
     s_g1, s_gx1 = st6[0], st6[1]
     g_g1 = s_gx1.astype(g1.dtype)
     g_be1 = s_g1.astype(be1.dtype)
+    s_g1, s_gx1 = collectives.psum_if(s_g1), collectives.psum_if(s_gx1)
 
     def xpro_h1r(slabs, cv):
         xs = slabs[0].astype(jnp.float32)

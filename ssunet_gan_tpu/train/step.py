@@ -80,6 +80,8 @@ def make_train_step(
     clip: float = 0.0,
     param_labels=None,
     accum_steps: int = 1,
+    mesh=None,
+    data_axis: str = "data",
 ) -> Callable[[TrainState, Batch, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the jitted supervised train step ``(state, batch, lr) → (state, metrics)``.
 
@@ -99,7 +101,25 @@ def make_train_step(
     running stats integrate sequentially — the same semantics as running k
     torch steps). The batch size must divide by ``accum_steps``; under a
     mesh each microbatch stays sharded over the ``data`` axis.
+
+    ``mesh`` (optional): build the DP step as ``jax.shard_map`` over
+    ``data_axis`` instead of relying on GSPMD. This is the multi-chip path
+    for the fused train kernels (Pallas calls have no SPMD partitioning
+    rule, so GSPMD can't shard them): each device traces the kernels on its
+    LOCAL batch shard, and every cross-batch reduction — BN batch stats in
+    both the module and the fused-kernel path, the BN-backward stat terms,
+    metrics, gradients — goes through explicit collectives
+    (ops/collectives.py). Semantics match the GSPMD composition step
+    exactly: SyncBN stats/grads, global-mean loss, global IoU/Dice
+    (parity-pinned in tests/test_parallel.py). Requires ``accum_steps == 1``.
     """
+    if mesh is not None:
+        if accum_steps != 1:
+            raise ValueError("mesh= (shard_map DP) requires accum_steps == 1")
+        return _make_train_step_shard_map(
+            model, loss_fn, tx, num_classes, deep_supervision, clip,
+            param_labels, mesh, data_axis,
+        )
 
     def step(state: TrainState, batch: Batch, lr: jax.Array, lr_cnn: jax.Array = 0.0):
         image, target = batch
@@ -155,6 +175,90 @@ def make_train_step(
 
         # weight clamp before the update, gradients from unclamped weights
         # (train.py:111-116)
+        params = state.params
+        if clip and clip > 0:
+            params = jax.tree_util.tree_map(lambda p: jnp.clip(p, -clip, clip), params)
+
+        deltas, opt_state = tx.update(grads, state.opt_state, params)
+        if param_labels is None:
+            deltas = jax.tree_util.tree_map(lambda u: u * lr, deltas)
+        else:
+            deltas = jax.tree_util.tree_map(
+                lambda u, lab: u * (lr_cnn if lab == "cnn" else lr),
+                deltas, param_labels,
+            )
+        params = optax.apply_updates(params, deltas)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            batch_stats=updates.get("batch_stats", state.batch_stats),
+            spectral=updates.get("spectral", state.spectral),
+        )
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def _make_train_step_shard_map(
+    model, loss_fn, tx, num_classes, deep_supervision, clip, param_labels,
+    mesh, data_axis,
+):
+    """shard_map DP train step (see make_train_step's ``mesh`` docs).
+
+    The body computes per-shard grads with the collectives context active
+    (ops/collectives.train_axis — a trace-time switch the BN/metric/fused-
+    kernel code keys on), then pmeans the gradient tree: with the loss
+    decomposing as a mean of per-sample terms (stable_bce + per-sample
+    soft_dice, ops/losses.py) and equal shard sizes, pmean-of-local-grads
+    is EXACTLY the gradient of the global-mean loss — the stat-coupling
+    cross terms ride the psums' transposes (autodiff) and the explicit
+    psums in the fused stage's custom VJP. The optimizer update runs
+    outside the shard_map on replicated values.
+    """
+    from jax.sharding import PartitionSpec
+    from ssunet_gan_tpu.ops import collectives
+
+    P = PartitionSpec
+    axis_size = mesh.shape[data_axis]
+
+    def step(state: TrainState, batch: Batch, lr: jax.Array, lr_cnn: jax.Array = 0.0):
+        image, target = batch
+        aux = {}
+        if state.batch_stats:
+            aux["batch_stats"] = state.batch_stats
+        if state.spectral:
+            aux["spectral"] = state.spectral
+        mutable = list(aux.keys())
+
+        def body(params, aux_c, img, tar):
+            with collectives.train_axis(data_axis, axis_size):
+                grad_fn = jax.value_and_grad(
+                    lambda p: _forward_loss(
+                        model, loss_fn, num_classes, deep_supervision,
+                        p, aux_c, mutable, img, tar, True,
+                    ),
+                    has_aux=True,
+                )
+                (_, (metrics, updates)), grads = grad_fn(params)
+            grads = jax.lax.pmean(grads, data_axis)
+            # loss: pmean of local means = global mean (equal shards);
+            # iou/dice were already computed from psummed global sums
+            metrics = jax.tree_util.tree_map(
+                lambda m: jax.lax.pmean(m, data_axis), metrics
+            )
+            # updates (BN running stats) come from global batch stats, so
+            # they are shard-identical and replicate cleanly
+            return grads, metrics, updates
+
+        grads, metrics, updates = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P(), P(), P(data_axis), P(data_axis)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(state.params, aux, image, target)
+
         params = state.params
         if clip and clip > 0:
             params = jax.tree_util.tree_map(lambda p: jnp.clip(p, -clip, clip), params)

@@ -222,10 +222,15 @@ def run_experiment(
     # 'accum_steps' splits each batch into k sequentially-scanned microbatches
     # with one optimizer update — effective batches beyond HBM capacity.
     accum_steps = int(config.get("accum_steps", 1) or 1)
+    # 'fused_train_dp' (opt-in card key): build the step as shard_map over
+    # the mesh so the fused train kernels run on multi-chip DP (explicit
+    # SyncBN collectives — train/step.py mesh=..., ops/collectives.py);
+    # default GSPMD (identical semantics, composition kernels)
+    fused_dp = bool(config.get("fused_train_dp", False)) and accum_steps == 1
     train_step = make_train_step(
         model, loss_fn, tx, config["num_classes"], config["deep_supervision"],
         clip=float(config.get("clip", 0.0) or 0.0), param_labels=param_labels,
-        accum_steps=accum_steps,
+        accum_steps=accum_steps, mesh=mesh if fused_dp else None,
     )
     eval_step = make_eval_step(
         model, loss_fn, config["num_classes"], config["deep_supervision"]

@@ -64,3 +64,97 @@ def test_shard_batch_and_replicate_roundtrip(rng):
     rep = parallel.replicate(mesh, tree)
     assert rep["w"].sharding.spec == jax.sharding.PartitionSpec()
     np.testing.assert_array_equal(np.asarray(rep["w"]), tree["w"])
+
+
+def test_batchnorm_shard_map_matches_global(rng):
+    """BatchNorm under the shard_map collectives context (local shard +
+    psummed stats) matches the global-batch computation exactly."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ssunet_gan_tpu.ops import collectives
+    from ssunet_gan_tpu.ops.norm import BatchNorm
+
+    mesh = parallel.make_mesh()
+    d = mesh.shape["data"]
+    x = jnp.asarray(rng.normal(size=(2 * d, 4, 4, 6)).astype(np.float32))
+    bn = BatchNorm(6)
+    variables = bn.init(jax.random.PRNGKey(0), x, True)
+
+    want, upd = bn.apply(variables, x, True, mutable=["batch_stats"])
+
+    def body(v, xs):
+        with collectives.train_axis("data", d):
+            y, u = bn.apply(v, xs, True, mutable=["batch_stats"])
+        return y, u
+
+    got, upd_s = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh, in_specs=(P(), P("data")),
+            out_specs=(P("data"), P()), check_vma=False,
+        )
+    )(variables, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(upd_s["batch_stats"]["mean"]),
+        np.asarray(upd["batch_stats"]["mean"]), rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(upd_s["batch_stats"]["var"]),
+        np.asarray(upd["batch_stats"]["var"]), rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_train_step_shard_map_fused_dp_parity(rng):
+    """The shard_map DP train step with the fused train kernels matches the
+    (GSPMD-semantic) single-device XLA-composition step on the same global
+    batch: loss, metrics and updated params. This is the multi-chip fused
+    training path (make_train_step(mesh=...)); SyncBN comes from the psummed
+    kernel stat sums (ops/collectives.py)."""
+    import jax.numpy as jnp
+
+    from ssunet_gan_tpu.models import build_model
+    from ssunet_gan_tpu.ops.losses import bce_dice_loss
+    from ssunet_gan_tpu.ops.stage_kernel_train import set_fused_train
+    from ssunet_gan_tpu.train.optim import build_optimizer
+    from ssunet_gan_tpu.train.state import TrainState
+    from ssunet_gan_tpu.train.step import make_train_step
+    from ssunet_gan_tpu.utils import jit_init
+
+    mesh = parallel.make_mesh()
+    d = mesh.shape["data"]
+    model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
+    x = jnp.asarray(rng.normal(size=(d, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray((rng.random((d, 32, 32, 3)) > 0.5).astype(np.float32))
+    tx = build_optimizer({"optimizer": "Adam", "lr": 1e-3, "weight_decay": 1e-7})
+
+    def run(fused, use_mesh):
+        set_fused_train(fused)
+        try:
+            variables = jit_init(model, jax.random.PRNGKey(0), x, train=True)
+            state = TrainState.create(variables, tx)
+            if use_mesh:
+                state = parallel.replicate(mesh, state)
+                batch = parallel.shard_batch(mesh, (x, y))
+                step = make_train_step(model, bce_dice_loss, tx, 3, clip=0.7,
+                                       mesh=mesh)
+            else:
+                batch = (x, y)
+                step = make_train_step(model, bce_dice_loss, tx, 3, clip=0.7)
+            state, metrics = step(state, batch, jnp.float32(1e-3))
+            return {k: float(v) for k, v in metrics.items()}, state
+        finally:
+            set_fused_train(None)
+
+    m_ref, state_ref = run(False, False)
+    m_dp, state_dp = run(True, True)
+    assert abs(m_dp["loss"] - m_ref["loss"]) < 2e-3, (m_dp, m_ref)
+    assert abs(m_dp["iou"] - m_ref["iou"]) < 1e-5, (m_dp, m_ref)
+    assert abs(m_dp["dice"] - m_ref["dice"]) < 1e-4, (m_dp, m_ref)
+    la = jax.tree_util.tree_leaves(state_ref.params)
+    lb = jax.tree_util.tree_leaves(state_dp.params)
+    worst = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(la, lb)
+    )
+    assert worst < 5e-3, worst
