@@ -141,8 +141,12 @@ def run_gan_experiment(cfg, synthetic=None, epochs_override=None, mesh=None,
     )
 
     seg_loss_fn = get_loss(config["loss"])
+    # 'fused_train_dp' (opt-in card key): shard_map DP step so the fused
+    # train kernels inside G run multi-chip (train/gan_step.py mesh= docs)
+    fused_dp = bool(config.get("fused_train_dp", False))
     gan_step = make_gan_train_step(
-        generator, discriminator, seg_loss_fn, tx_g, tx_d, config["num_classes"]
+        generator, discriminator, seg_loss_fn, tx_g, tx_d,
+        config["num_classes"], mesh=mesh if fused_dp else None,
     )
     eval_step = make_eval_step(generator, seg_loss_fn, config["num_classes"])
 

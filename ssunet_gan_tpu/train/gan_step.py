@@ -24,6 +24,14 @@ applications.
 
 Metrics logged are the *segmentation* loss + fg IoU/Dice
 (train_seg_gan.py:194-199), not the perceptual loss.
+
+``mesh=`` builds the step as ``jax.shard_map`` over the data axis — the
+multi-chip path for the fused train kernels inside G (see
+train/step.py ``mesh=`` / ops/collectives.py): both grad phases run on the
+local batch shard with explicit SyncBN collectives, the gradient trees are
+pmean'd (exact global-mean-loss gradients — every loss term is a
+per-sample mean), and the reference's value-clips + Adam updates apply
+outside on the replicated grads, exactly as GSPMD would order them.
 """
 
 from __future__ import annotations
@@ -69,25 +77,20 @@ def make_gan_train_step(
     alpha: float = ALPHA,
     beta: float = BETA,
     grad_clip: float = GRAD_CLIP,
+    mesh=None,
+    data_axis: str = "data",
 ):
     """Build the jitted GAN step ``(g_state, d_state, batch, lr) →
-    (g_state, d_state, metrics)``."""
+    (g_state, d_state, metrics)``. ``mesh=`` → shard_map DP (module docs)."""
 
-    def step(g_state: TrainState, d_state: TrainState, batch, lr: jax.Array):
-        image, target = batch
+    def _grads(g_params, d_params, g_aux, d_aux, g_mutable, d_mutable,
+               image, target):
+        """Both grad phases on (this shard of) the batch; no state updates.
 
-        g_aux = {}
-        if g_state.batch_stats:
-            g_aux["batch_stats"] = g_state.batch_stats
-        if g_state.spectral:
-            g_aux["spectral"] = g_state.spectral
-        g_mutable = list(g_aux.keys())
-        d_aux = {}
-        if d_state.batch_stats:
-            d_aux["batch_stats"] = d_state.batch_stats
-        if d_state.spectral:
-            d_aux["spectral"] = d_state.spectral
-        d_mutable = list(d_aux.keys())
+        D grads use the PRE-update generator output and PRE-update D params
+        (reference order), so neither phase depends on the other's update —
+        the optimizer steps can apply outside on replicated grads.
+        """
 
         # ---- G phase ----------------------------------------------------
         def g_loss_fn(g_params):
@@ -97,7 +100,7 @@ def make_gan_train_step(
             content = _mse(g_out, target)
             # D in train mode; its batch_stats mutate (first of three updates)
             d_fake, d_updates1 = _apply(
-                discriminator, d_state.params, d_aux, g_out, True, d_mutable
+                discriminator, d_params, d_aux, g_out, True, d_mutable
             )
             adv = bce_with_logits_loss(d_fake, jnp.ones_like(d_fake))
             perceptual = seg_loss + alpha * content + beta * adv
@@ -112,20 +115,9 @@ def make_gan_train_step(
             }
             return perceptual, (g_out, g_updates, d_updates1, metrics)
 
-        grads, (g_out, g_updates, d_updates1, metrics) = jax.grad(
+        g_grads, (g_out, g_updates, d_updates1, metrics) = jax.grad(
             g_loss_fn, has_aux=True
-        )(g_state.params)
-        grads = _clip_grads(grads, grad_clip)
-        g_deltas, g_opt_state = tx_g.update(grads, g_state.opt_state, g_state.params)
-        g_deltas = jax.tree_util.tree_map(lambda u: u * lr, g_deltas)
-        g_params = optax.apply_updates(g_state.params, g_deltas)
-        g_state = g_state.replace(
-            step=g_state.step + 1,
-            params=g_params,
-            opt_state=g_opt_state,
-            batch_stats=g_updates.get("batch_stats", g_state.batch_stats),
-            spectral=g_updates.get("spectral", g_state.spectral),
-        )
+        )(g_params)
 
         # ---- D phase (pre-update generator output, reference order) -----
         d_aux2 = dict(d_aux)
@@ -150,8 +142,73 @@ def make_gan_train_step(
             return d_loss, d_updates3
 
         (d_loss, d_updates3), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-            d_state.params
+            d_params
         )
+        metrics["d_loss"] = d_loss
+        return g_grads, d_grads, g_updates, d_updates3, metrics
+
+    def step(g_state: TrainState, d_state: TrainState, batch, lr: jax.Array):
+        image, target = batch
+
+        g_aux = {}
+        if g_state.batch_stats:
+            g_aux["batch_stats"] = g_state.batch_stats
+        if g_state.spectral:
+            g_aux["spectral"] = g_state.spectral
+        g_mutable = list(g_aux.keys())
+        d_aux = {}
+        if d_state.batch_stats:
+            d_aux["batch_stats"] = d_state.batch_stats
+        if d_state.spectral:
+            d_aux["spectral"] = d_state.spectral
+        d_mutable = list(d_aux.keys())
+
+        if mesh is None:
+            g_grads, d_grads, g_updates, d_updates3, metrics = _grads(
+                g_state.params, d_state.params, g_aux, d_aux,
+                g_mutable, d_mutable, image, target,
+            )
+        else:
+            from jax.sharding import PartitionSpec as P
+
+            from ssunet_gan_tpu.ops import collectives
+
+            axis_size = mesh.shape[data_axis]
+
+            def body(g_params, d_params, g_aux_c, d_aux_c, img, tar):
+                with collectives.train_axis(data_axis, axis_size):
+                    g_grads, d_grads, g_upd, d_upd, metrics = _grads(
+                        g_params, d_params, g_aux_c, d_aux_c,
+                        g_mutable, d_mutable, img, tar,
+                    )
+                g_grads = jax.lax.pmean(g_grads, data_axis)
+                d_grads = jax.lax.pmean(d_grads, data_axis)
+                metrics = jax.tree_util.tree_map(
+                    lambda m: jax.lax.pmean(m, data_axis), metrics
+                )
+                # BN running stats / spectral states come from global
+                # reductions (collectives ctx), so they replicate cleanly
+                return g_grads, d_grads, g_upd, d_upd, metrics
+
+            g_grads, d_grads, g_updates, d_updates3, metrics = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P(), P(), P(), P(data_axis), P(data_axis)),
+                out_specs=(P(), P(), P(), P(), P()),
+                check_vma=False,
+            )(g_state.params, d_state.params, g_aux, d_aux, image, target)
+
+        g_grads = _clip_grads(g_grads, grad_clip)
+        g_deltas, g_opt_state = tx_g.update(g_grads, g_state.opt_state, g_state.params)
+        g_deltas = jax.tree_util.tree_map(lambda u: u * lr, g_deltas)
+        g_params = optax.apply_updates(g_state.params, g_deltas)
+        g_state = g_state.replace(
+            step=g_state.step + 1,
+            params=g_params,
+            opt_state=g_opt_state,
+            batch_stats=g_updates.get("batch_stats", g_state.batch_stats),
+            spectral=g_updates.get("spectral", g_state.spectral),
+        )
+
         d_grads = _clip_grads(d_grads, grad_clip)
         d_deltas, d_opt_state = tx_d.update(d_grads, d_state.opt_state, d_state.params)
         d_deltas = jax.tree_util.tree_map(lambda u: u * lr, d_deltas)
@@ -164,7 +221,6 @@ def make_gan_train_step(
             spectral=d_updates3.get("spectral", d_state.spectral),
         )
 
-        metrics["d_loss"] = d_loss
         return g_state, d_state, metrics
 
     return jax.jit(step, donate_argnums=(0, 1))

@@ -158,3 +158,52 @@ def test_train_step_shard_map_fused_dp_parity(rng):
         float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(la, lb)
     )
     assert worst < 5e-3, worst
+
+
+def test_gan_step_shard_map_dp_parity(rng):
+    """The shard_map DP GAN step (make_gan_train_step(mesh=...)) matches the
+    plain step on the same global batch: losses, metrics and both updated
+    param trees (SyncBN in D via the collectives context; grad value-clips
+    apply outside on the pmean'd grads, matching GSPMD order)."""
+    import jax.numpy as jnp
+
+    from tests.test_gan import _states
+    from ssunet_gan_tpu.ops.losses import bce_dice_loss
+    from ssunet_gan_tpu.train.gan_step import make_gan_train_step
+
+    mesh = parallel.make_mesh()
+    d = mesh.shape["data"]
+    img = jnp.asarray(rng.normal(size=(d, 16, 16, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.random((d, 16, 16, 2)) > 0.5).astype(np.float32))
+
+    def run(use_mesh):
+        gen, disc, g_state, d_state, tx_g, tx_d = _states(rng)
+        step = make_gan_train_step(
+            gen, disc, bce_dice_loss, tx_g, tx_d, num_classes=2,
+            mesh=mesh if use_mesh else None,
+        )
+        if use_mesh:
+            g_state = parallel.replicate(mesh, g_state)
+            d_state = parallel.replicate(mesh, d_state)
+            batch = parallel.shard_batch(mesh, (img, mask))
+        else:
+            batch = (img, mask)
+        g_state, d_state, metrics = step(g_state, d_state, batch,
+                                         jnp.float32(2e-5))
+        return ({k: float(v) for k, v in metrics.items()},
+                jax.device_get(g_state.params), jax.device_get(d_state.params))
+
+    m_ref, gp_ref, dp_ref = run(False)
+    m_dp, gp_dp, dp_dp = run(True)
+    for k in ("loss", "perceptual_loss", "adv_loss", "d_loss", "iou", "dice"):
+        assert abs(m_dp[k] - m_ref[k]) < 2e-4, (k, m_dp[k], m_ref[k])
+    for name, (a_tree, b_tree) in {
+        "G": (gp_ref, gp_dp), "D": (dp_ref, dp_dp),
+    }.items():
+        la = jax.tree_util.tree_leaves(a_tree)
+        lb = jax.tree_util.tree_leaves(b_tree)
+        worst = max(
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(la, lb)
+        )
+        assert worst < 1e-4, (name, worst)
