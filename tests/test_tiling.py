@@ -274,6 +274,39 @@ def test_uint8_device_normalize_matches_host_path(rng):
     )
 
 
+def test_raw_uint8_non_square_input(rng):
+    """raw_uint8 tiles must land exactly on an (input_h, input_w) buffer for
+    rectangular model inputs (round-2 advisor finding: the fast path once
+    resized to (input_w, input_w) and broadcast-crashed; the host float path
+    mirrors the reference's square-first resize, api:361, then fixes the
+    aspect, so only shape — not values — can be asserted across the two)."""
+    from ssunet_gan_tpu.infer import api as infer_api
+
+    scene = rng.integers(0, 255, (96, 64, 3), np.uint8)
+    config = {"patch_size": 32, "input_h": 24, "input_w": 16,
+              "patch_overlap": 0.5, "num_classes": 2, "deep_supervision": False}
+
+    raw, _ = infer_api.patch_and_preprocess(scene, scene, config, raw_uint8=True)
+    assert raw.dtype == np.uint8
+    assert raw.shape[1:] == (24, 16, 3)
+
+    # the pure-python cv2 fallback (native tile server unavailable) must
+    # land on the same rectangular buffer
+    from unittest import mock
+
+    from ssunet_gan_tpu import native
+
+    with mock.patch.object(native, "extract_resize_u8", return_value=None):
+        raw_py, _ = infer_api.patch_and_preprocess(
+            scene, scene, config, raw_uint8=True
+        )
+    assert raw_py.shape == raw.shape and raw_py.dtype == np.uint8
+
+    host, _ = infer_api.patch_and_preprocess(scene, scene, config)
+    assert host.dtype == np.float32
+    assert host.shape == (raw.shape[0], 24, 16, 3)
+
+
 def test_pipelined_scene_forward_matches_plain_path(rng):
     """The overlapped prep/H2D/compute pipeline must produce the same probs
     as patch_and_preprocess(raw_uint8) -> _chunked_forward."""
