@@ -30,6 +30,9 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--trace", default="")
     ap.add_argument("--lookahead", default="", choices=("", "on", "off"))
+    ap.add_argument("--gan", action="store_true",
+                    help="bench the adversarial G+D step (train_seg_gan.py:"
+                         "167-233 hot loop) instead of the supervised step")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -62,19 +65,50 @@ def main(argv=None):
     )
     tx = build_optimizer({"optimizer": "Adam", "lr": 1e-4, "weight_decay": 1e-7})
 
+    def build_step(fused):
+        """(state(s), jitted step closure) for the selected hot loop."""
+        if not args.gan:
+            variables = jit_init(model, jax.random.PRNGKey(0), x, train=True)
+            state = TrainState.create(variables, tx)
+            sup = jax.jit(make_train_step(model, bce_dice_loss, tx, 3, clip=0.8))
+
+            def step(s, lr):
+                return sup(s, (x, y), lr)
+
+            return state, step
+
+        from ssunet_gan_tpu.models.gan import Discriminator
+        from ssunet_gan_tpu.train.gan_step import make_gan_train_step
+
+        disc = Discriminator(num_classes=3, kernel_size=3, n_channels=64,
+                             n_blocks=8, fc_size=1024)
+        tx_d = build_optimizer(
+            {"optimizer": "Adam", "lr": 2e-5, "weight_decay": 0.0}
+        )
+        g_vars = jit_init(model, jax.random.PRNGKey(0), x, train=True)
+        d_vars = jit_init(disc, jax.random.PRNGKey(1), y, train=True)
+        g_state = TrainState.create(g_vars, tx)
+        d_state = TrainState.create(d_vars, tx_d)
+        gan = jax.jit(make_gan_train_step(model, disc, bce_dice_loss, tx, tx_d, 3))
+
+        def step(s, lr):
+            g, d = s
+            g, d, m = gan(g, d, (x, y), lr)
+            return (g, d), m
+
+        return (g_state, d_state), step
+
     def run(label, fused):
         set_fused_train(fused)
-        variables = jit_init(model, jax.random.PRNGKey(0), x, train=True)
-        state = TrainState.create(variables, tx)
-        step = jax.jit(make_train_step(model, bce_dice_loss, tx, 3, clip=0.8))
+        state, step = build_step(fused)
         lr = jnp.float32(1e-4)
-        state, metrics = step(state, (x, y), lr)  # compile + warm
+        state, metrics = step(state, lr)  # compile + warm
         jax.block_until_ready(metrics["loss"])
 
         def timed_steps(s):
             t0 = time.perf_counter()
             for _ in range(args.steps):
-                s, m = step(s, (x, y), lr)
+                s, m = step(s, lr)
                 jax.block_until_ready(m["loss"])  # synced per step
             return s, time.perf_counter() - t0
 
@@ -86,7 +120,8 @@ def main(argv=None):
             state, dt = timed_steps(state)
         ms = 1e3 * dt / args.steps
         print(json.dumps({
-            "mode": label, "ms_per_step": round(ms, 1),
+            "mode": ("gan_" if args.gan else "") + label,
+            "ms_per_step": round(ms, 1),
             "img_per_sec": round(args.batch / (dt / args.steps), 2),
             "loss": round(float(metrics["loss"]), 4),
         }), flush=True)
