@@ -3,10 +3,11 @@
 
 Measures the b=8 bf16 @512² train step (the BASELINE.md "Training" config)
 under the XLA composition and/or the fused train kernels. Wall clock is
-synced per step (honest through the axon relay for 100+ ms steps); pass
-``--trace DIR`` to also capture an xprof trace of the timed section (device
-self-time is the number of record — CLAUDE.md: the relay under-reports
-chained dispatch).
+synced per step on the FULL step output (blocking on the loss scalar alone
+collapses through the axon relay — see timed_steps); pass ``--trace DIR``
+to also capture an xprof trace of the timed section (device self-time is
+the number of record — CLAUDE.md: the relay under-reports chained
+dispatch).
 
 Usage: python tools/bench_train.py [--modes xla,fused] [--steps 10]
 """
@@ -109,7 +110,14 @@ def main(argv=None):
             t0 = time.perf_counter()
             for _ in range(args.steps):
                 s, m = step(s, lr)
-                jax.block_until_ready(m["loss"])  # synced per step
+                # Block on the WHOLE step output, not just the loss scalar:
+                # XLA schedules the loss write early in the program, and the
+                # axon relay marks that buffer ready before the param updates
+                # finish — blocking on it alone lets steps pipeline and the
+                # wall clock collapse (measured: a ~120 ms step "takes" 2.7
+                # ms). Device traces (--trace + tools/trace_stats.py) remain
+                # the numbers of record regardless.
+                jax.block_until_ready((s, m))
             return s, time.perf_counter() - t0
 
         if args.trace:
