@@ -6,23 +6,40 @@ a batch=1 Python loop (aerial_image_segmentation_api.py:386-390) — SURVEY.md
 flagship forward.  North star (BASELINE.json): ≥ 2,000 512×512 tiles/sec
 per chip on the flagship ``UNet_R_SS_v2``.
 
-Prints ONE JSON line; the primary metric is raw forward throughput, and the
-same object carries an END-TO-END whole-scene measurement (host patching +
-preprocessing → chunked forward → device-resident merge, as the reference's
-api:336-411 capability) so the merge/preprocess path can't silently rot:
+Prints PROGRESSIVE JSON lines — one complete JSON object per finished leg,
+each a superset of the previous — so the driver (which reads the last
+parseable line of the tail) gets the headline number the moment the first
+timed loop completes, even if later legs are cut off by the harness budget:
 
     {"metric": "tiles_per_sec_512", "value": N, "unit": "tiles/s",
-     "vs_baseline": N/2000, "scene_e2e_s": S, "scene_px_per_sec": P}
+     "vs_baseline": N/2000}                                    ← leg 1
+    {..., "int8_tiles_per_sec": M}                             ← leg 2
+    {..., "scene_e2e_s": S, "scene_px_per_sec": P, ...}        ← leg 3
+
+Legs 2 (int8 PTQ) and 3 (whole-scene e2e) are best-effort: they are skipped
+when the internal soft deadline (SSUNET_GAN_TPU_BENCH_DEADLINE, default
+300 s) approaches and their errors never lose leg 1's number.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_TILES_PER_SEC = 2000.0
+_T0 = time.monotonic()
+_DEADLINE = float(os.environ.get("SSUNET_GAN_TPU_BENCH_DEADLINE", "300"))
+
+
+def _time_left() -> float:
+    return _DEADLINE - (time.monotonic() - _T0)
+
+
+def _emit(result: dict) -> None:
+    print(json.dumps(result), flush=True)
 
 
 def main() -> None:
@@ -30,14 +47,13 @@ def main() -> None:
     import jax.numpy as jnp
 
     from ssunet_gan_tpu.models import build_model
+    from ssunet_gan_tpu.utils import jit_init
 
     on_tpu = jax.devices()[0].platform == "tpu"
     # CPU fallback keeps the harness runnable anywhere; numbers only matter on TPU
     tile = 512 if on_tpu else 64
     batch = 32 if on_tpu else 2
     iters = 10 if on_tpu else 2
-
-    from ssunet_gan_tpu.utils import jit_init
 
     model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
     x0 = jnp.zeros((batch, tile, tile, 3), jnp.bfloat16 if on_tpu else jnp.float32)
@@ -60,54 +76,70 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     tiles_per_sec = batch * iters / dt
+    result = {
+        "metric": "tiles_per_sec_512" if on_tpu else "tiles_per_sec_cpu_smoke",
+        "value": round(tiles_per_sec, 2),
+        "unit": "tiles/s",
+        "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 4),
+    }
+    _emit(result)  # ← headline out, whatever happens next
 
-    # opt-in int8 eval mode (static max-calibration PTQ): the quantized
-    # counterpart of the headline number, reported separately because it is
-    # an approximation (accuracy bars: tools/accuracy_bar.py + BASELINE.md)
-    int8_tiles_per_sec = None
-    if on_tpu:
-        from ssunet_gan_tpu.infer.calibrate import calibrate_int8
-        from ssunet_gan_tpu.ops.stage_kernel_int8 import (
-            set_int8_calibration,
-            set_int8_stage,
-        )
+    # leg 2 — opt-in int8 eval mode (static max-calibration PTQ): the
+    # quantized counterpart of the headline number, reported separately
+    # because it is an approximation (accuracy bars: tools/accuracy_bar.py)
+    if on_tpu and _time_left() > 60:
+        try:
+            from ssunet_gan_tpu.infer.calibrate import calibrate_int8
+            from ssunet_gan_tpu.ops.stage_kernel_int8 import (
+                set_int8_calibration,
+                set_int8_stage,
+            )
 
-        calibrate_int8(model, variables, xh[:8], batch_size=8)
-        set_int8_stage(True)
+            calibrate_int8(model, variables, xh[:8], batch_size=8)
+            set_int8_stage(True)
 
-        @jax.jit
-        def forward_int8(image):
-            return jax.nn.sigmoid(model.apply(variables, image, False))
+            @jax.jit
+            def forward_int8(image):
+                return jax.nn.sigmoid(model.apply(variables, image, False))
 
-        jax.block_until_ready(forward_int8(x))
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = forward_int8(x)
-        jax.block_until_ready(out)
-        int8_tiles_per_sec = round(batch * iters / (time.perf_counter() - t0), 2)
-        set_int8_stage(False)
-        set_int8_calibration(None)
+            jax.block_until_ready(forward_int8(x))
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = forward_int8(x)
+            jax.block_until_ready(out)
+            result["int8_tiles_per_sec"] = round(
+                batch * iters / (time.perf_counter() - t0), 2
+            )
+        except Exception as exc:  # best-effort: never lose the headline
+            result["int8_error"] = f"{type(exc).__name__}: {exc}"[:160]
+        finally:
+            try:
+                set_int8_stage(False)
+                set_int8_calibration(None)
+            except Exception:
+                pass
+        _emit(result)
+    elif on_tpu:
+        result["int8_skipped"] = "deadline"
+        _emit(result)
 
-    scene = bench_scene(model, variables, on_tpu)
-    print(
-        json.dumps(
-            {
-                "metric": "tiles_per_sec_512" if on_tpu else "tiles_per_sec_cpu_smoke",
-                "value": round(tiles_per_sec, 2),
-                "unit": "tiles/s",
-                "vs_baseline": round(tiles_per_sec / BASELINE_TILES_PER_SEC, 4),
-                **({"int8_tiles_per_sec": int8_tiles_per_sec} if int8_tiles_per_sec else {}),
-                **scene,
-            }
-        )
-    )
+    # leg 3 — whole-scene end-to-end
+    if _time_left() > 60:
+        try:
+            result.update(bench_scene(model, variables, on_tpu))
+        except Exception as exc:
+            result["scene_error"] = f"{type(exc).__name__}: {exc}"[:160]
+        _emit(result)
+    else:
+        result["scene_skipped"] = "deadline"
+        _emit(result)
 
 
 def bench_scene(model, variables, on_tpu):
     """Whole-scene inference, decomposed so the device pipeline has a
     tunnel-insensitive regression metric (r2 VERDICT weak #6b):
 
-    - ``scene_host_s``   — host patch-extract + resize (cv2, threaded)
+    - ``scene_host_s``   — host patch-extract + resize (cv2/native, threaded)
     - ``scene_h2d_s``    — uint8 tile transfer to HBM
     - ``scene_device_s`` — device-only: fused normalize → chunked forward →
       scatter-add merge, on pre-staged tiles (block_until_ready-bounded)
@@ -118,7 +150,6 @@ def bench_scene(model, variables, on_tpu):
     ~3 MB/s would swamp it; on a real host it's DMA."""
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from ssunet_gan_tpu.data.tiling import grid_coords, merge_patches_device
     from ssunet_gan_tpu.infer.api import (
@@ -190,8 +221,11 @@ def bench_scene(model, variables, on_tpu):
 
     run_e2e()  # warm the pipelined-forward cache entry
     # best-of-2 warm runs: the dev tunnel's H2D throughput fluctuates and
-    # dominates e2e in the sandbox (BASELINE.md); min is the stabler estimate
-    e2e_s = min(run_e2e(), run_e2e())
+    # dominates e2e in the sandbox (BASELINE.md); min is the stabler
+    # estimate. Collapse to one run when the deadline is close.
+    e2e_s = run_e2e()
+    if _time_left() > 30:
+        e2e_s = min(e2e_s, run_e2e())
     return {
         "scene_e2e_s": round(e2e_s, 3),
         "scene_px_per_sec": round(side * side / e2e_s, 0),
@@ -202,43 +236,70 @@ def bench_scene(model, variables, on_tpu):
 
 
 def _watchdog_main() -> None:
-    """Run the real bench in a child with a deadline.
+    """Run the real bench in a child, streaming its JSON lines through.
 
     The axon dev tunnel can wedge for hours after any process dies mid-
     TPU-op (CLAUDE.md); a wedged backend hangs in C++ device init where no
-    Python-level recovery is possible. The parent prints the child's JSON
-    line on success, or an honest zero-valued error line on deadline — so
-    the driver always gets one parseable line instead of a hang. Deadline
-    45 min: a healthy cold run (3 compiles + calibration over the tunnel)
-    measures ~10-15 min.
+    Python-level recovery is possible. The child prints one complete JSON
+    line per finished leg; the parent forwards each line the moment it
+    appears — so the driver's captured tail always holds the latest good
+    result even if the harness kills this process mid-leg (the r3 failure
+    mode: rc=124 with an empty tail). On its own deadline the parent emits
+    an honest zero-valued error line if the child produced nothing.
+    Deadline 420 s > the child's internal soft deadline (300 s), which
+    skips optional legs rather than dying.
     """
-    import os
     import subprocess
     import sys
+    import tempfile
+    import threading
 
     env = dict(os.environ, SSUNET_GAN_TPU_BENCH_CHILD="1")
+    deadline = float(env.get("SSUNET_GAN_TPU_BENCH_WATCHDOG", "420"))
+    stderr_f = tempfile.TemporaryFile(mode="w+")
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, stdout=subprocess.PIPE, stderr=stderr_f,
+        text=True, bufsize=1,
+    )
+    got_line = []
+
+    def pump():
+        for line in proc.stdout:
+            line = line.rstrip()
+            if line.startswith("{"):
+                got_line.append(line)
+                print(line, flush=True)
+
+    th = threading.Thread(target=pump, daemon=True)
+    th.start()
+    timed_out = False
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            timeout=2700, env=env, capture_output=True, text=True,
-        )
-        out = [l for l in proc.stdout.splitlines() if l.startswith("{")]
-        if proc.returncode == 0 and out:
-            print(out[-1])
-            return
-        detail = (proc.stderr or proc.stdout or "").strip().splitlines()
-        msg = detail[-1][:200] if detail else f"rc={proc.returncode}"
+        proc.wait(timeout=deadline)
     except subprocess.TimeoutExpired:
+        timed_out = True
+        proc.terminate()
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+    th.join(timeout=10)
+
+    if got_line:
+        return  # lines already streamed; last one is the driver's result
+    if timed_out:
         msg = "deadline exceeded (TPU backend unavailable / tunnel wedged)"
+    else:
+        stderr_f.seek(0)
+        detail = stderr_f.read().strip().splitlines()
+        msg = detail[-1][:200] if detail else f"rc={proc.returncode}"
     print(json.dumps({
         "metric": "tiles_per_sec_512", "value": 0, "unit": "tiles/s",
         "vs_baseline": 0.0, "error": msg,
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
-    import os
-
     if os.environ.get("SSUNET_GAN_TPU_BENCH_CHILD"):
         main()
     else:

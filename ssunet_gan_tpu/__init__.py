@@ -28,4 +28,35 @@ if _os.environ.get("SSUNET_GAN_TPU_PLATFORM"):
 
     _jax.config.update("jax_platforms", _os.environ["SSUNET_GAN_TPU_PLATFORM"])
 
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (opt-out: SSUNET_GAN_TPU_XLA_CACHE=0).
+
+    Every entry point pays 20-40 s (TPU) / minutes (1-core CPU mesh) of cold
+    compiles per program otherwise; bench.py, the driver dryrun, tools, and
+    repeat test sessions all hit the same programs. Cache location override:
+    SSUNET_GAN_TPU_XLA_CACHE=<dir>.
+    """
+    cache = _os.environ.get("SSUNET_GAN_TPU_XLA_CACHE")
+    if cache == "0":
+        return
+    if not cache:
+        cache = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "ssunet_gan_tpu", "xla"
+        )
+    try:
+        _os.makedirs(cache, exist_ok=True)
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", cache)
+        # cache even fast-compiling programs: re-runs over the 1-core host /
+        # axon tunnel are the target, where every compile is expensive
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from ssunet_gan_tpu.config import load_experiment_config, ExperimentConfig  # noqa: F401

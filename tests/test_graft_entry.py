@@ -11,9 +11,12 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_inline():
     """With >=8 devices already available (conftest mesh), runs inline."""
     sys.path.insert(0, REPO)
@@ -25,6 +28,7 @@ def test_dryrun_multichip_inline():
         sys.path.remove(REPO)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_self_provisions():
     """From a 1-device parent, the entry must re-exec onto a virtual mesh.
 

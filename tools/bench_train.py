@@ -104,7 +104,10 @@ def main(argv=None):
         state, step = build_step(fused)
         lr = jnp.float32(1e-4)
         state, metrics = step(state, lr)  # compile + warm
-        jax.block_until_ready(metrics["loss"])
+        # block on the whole warm-up output (see timed_steps): the loss
+        # buffer alone is ready before the param updates finish, which would
+        # let the warm-up tail bleed into the first timed step
+        jax.block_until_ready((state, metrics))
 
         def timed_steps(s):
             t0 = time.perf_counter()
