@@ -318,9 +318,77 @@ def unpool2x2(values: Activation, code) -> Activation:
     return nhwc_pool.max_unpool_2x2(values, code)
 
 
+_UPSAMPLE_IMPL: str = "einsum_hw"  # "einsum_hw" | "shift_lerp"
+
+
+def set_upsample_impl(name: str) -> None:
+    """Select the W-minor 2× bilinear H-interp lowering (A/B lever).
+
+    ``einsum_hw`` contracts the MAJOR H axis of the (N, H, C, W) activation,
+    which XLA wraps in transposed relayout copies (~15.9 ms/step of the
+    flagship's two decoder seams, BASELINE.md r3 study vs a ~4.5 ms
+    materialization floor). ``shift_lerp`` rewrites the H-interp as two
+    static H-shifted interleaves + a 2-term weighted add: no gather (the r3
+    row-gather attempt lost 12%), no dot, no minor-axis manipulation —
+    pure fusible VPU work. Each output row has exactly two nonzero matrix
+    entries, and the shifted interleaves reproduce those two source rows
+    with the identical weights (asserted at trace time against
+    ``_linear_matrix``) — bit-exact vs the einsum in bf16 (exact bf16
+    products in f32); ≤1 ulp in f32, where XLA may contract the lerp into
+    an FMA that skips the einsum's per-product rounding.
+    """
+    assert name in ("einsum_hw", "shift_lerp"), name
+    global _UPSAMPLE_IMPL
+    _UPSAMPLE_IMPL = name
+
+
+def upsample_impl() -> str:
+    return _UPSAMPLE_IMPL
+
+
+def _shift_lerp_weights(rm: np.ndarray, h: int):
+    """Decompose the 2×-upsample row matrix into (w0, w1) over the shifted
+    interleaves a[p] = v[clip((p-1)//2)] and b[p] = v[min((p-1)//2+1, h-1)].
+
+    Returns None when ``rm`` is not reproduced exactly (non-2× scales or an
+    unexpected stencil) — caller falls back to the einsum."""
+    p = rm.shape[0]
+    if p != 2 * h:
+        return None
+    rows = np.arange(p)
+    j0 = np.clip((rows - 1) // 2, 0, h - 1)
+    j1 = np.minimum(j0 + 1, h - 1)
+    w0 = rm[rows, j0]
+    w1 = np.where(j1 > j0, rm[rows, j1], 0.0)
+    # exactness guard: rebuild the matrix from the decomposition
+    rebuilt = np.zeros_like(rm)
+    rebuilt[rows, j0] += w0
+    rebuilt[rows, j1] += w1
+    if not np.array_equal(rebuilt, rm):
+        return None
+    return w0, w1
+
+
+def _h_interp_shift_lerp(v: jax.Array, w0: np.ndarray, w1: np.ndarray,
+                         wdtype) -> jax.Array:
+    """out[p] = w0[p]·v[(p-1)//2] + w1[p]·v[(p-1)//2+1] (clamped), built
+    from H-shifts + (H, 2)-interleaves — all major-axis views — and an
+    elementwise lerp. f32 accumulation like the einsum path."""
+    n, h, c, w = v.shape
+    vu = jnp.concatenate([v[:, :1], v[:, :-1]], axis=1)   # v[k-1] clamped
+    vd = jnp.concatenate([v[:, 1:], v[:, -1:]], axis=1)   # v[k+1] clamped
+    a = jnp.stack([vu, v], axis=2).reshape(n, 2 * h, c, w)  # v[(p-1)//2]
+    b = jnp.stack([v, vd], axis=2).reshape(n, 2 * h, c, w)  # v[(p-1)//2+1]
+    # quantize weights to the einsum's operand dtype, accumulate in f32
+    w0j = jnp.asarray(w0, wdtype).astype(jnp.float32).reshape(1, 2 * h, 1, 1)
+    w1j = jnp.asarray(w1, wdtype).astype(jnp.float32).reshape(1, 2 * h, 1, 1)
+    return a.astype(jnp.float32) * w0j + b.astype(jnp.float32) * w1j
+
+
 def upsample2x(t: Activation, align_corners: bool = True) -> Activation:
     """torch ``nn.Upsample(scale_factor=2, mode='bilinear')`` preserving the
-    activation form (W-minor stays W-minor — two einsums over axes 1/3)."""
+    activation form (W-minor stays W-minor — H-interp via the selected
+    lowering, W-interp as a minor-axis einsum)."""
     if isinstance(t, QTensor):
         t = t.dequant()
     if not isinstance(t, WTensor):
@@ -329,14 +397,24 @@ def upsample2x(t: Activation, align_corners: bool = True) -> Activation:
     _, h, _, w = v.shape
     rm = np.asarray(_linear_matrix(h, 2 * h, align_corners))
     cm = np.asarray(_linear_matrix(w, 2 * w, align_corners))
+    lerp = (
+        _shift_lerp_weights(rm, h) if _UPSAMPLE_IMPL == "shift_lerp" else None
+    )
     if v.dtype == jnp.bfloat16:
-        rmj = jnp.asarray(rm, dtype=jnp.bfloat16)
         cmj = jnp.asarray(cm, dtype=jnp.bfloat16)
-        x = jnp.einsum("ph,nhcw->npcw", rmj, v, preferred_element_type=jnp.float32)
+        if lerp is not None:
+            x = _h_interp_shift_lerp(v, *lerp, jnp.bfloat16)
+        else:
+            rmj = jnp.asarray(rm, dtype=jnp.bfloat16)
+            x = jnp.einsum("ph,nhcw->npcw", rmj, v,
+                           preferred_element_type=jnp.float32)
         x = jnp.einsum("qw,npcw->npcq", cmj, x, preferred_element_type=jnp.float32)
         return WTensor(x.astype(v.dtype))
     prec = jax.lax.Precision.HIGHEST
     x = v.astype(jnp.float32)
-    x = jnp.einsum("ph,nhcw->npcw", jnp.asarray(rm), x, precision=prec)
+    if lerp is not None:
+        x = _h_interp_shift_lerp(x, *lerp, jnp.float32)
+    else:
+        x = jnp.einsum("ph,nhcw->npcw", jnp.asarray(rm), x, precision=prec)
     x = jnp.einsum("qw,npcw->npcq", jnp.asarray(cm), x, precision=prec)
     return WTensor(x.astype(v.dtype))

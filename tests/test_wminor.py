@@ -100,6 +100,47 @@ def test_upsample2x_wminor_matches_nhwc(dtype):
     )
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize("hw", [(6, 5), (16, 16), (3, 7)])
+def test_upsample2x_shift_lerp_parity(dtype, align_corners, hw):
+    """The shift_lerp H-interp lowering (no major-axis contraction) must be
+    bit-exact vs einsum_hw in bf16 (exact bf16 products in f32) and within
+    1 ulp in f32 (XLA may contract the lerp into an FMA, skipping the
+    einsum's per-product rounding)."""
+    from ssunet_gan_tpu.ops.wminor import set_upsample_impl, upsample_impl
+
+    h, w = hw
+    x = _rand((2, h, 4, w), seed=11).astype(dtype)
+    ref = upsample2x(_wt(x), align_corners=align_corners)
+    assert upsample_impl() == "einsum_hw"
+    set_upsample_impl("shift_lerp")
+    try:
+        out = upsample2x(_wt(x), align_corners=align_corners)
+    finally:
+        set_upsample_impl("einsum_hw")
+    got = np.asarray(out.v, np.float32)
+    want = np.asarray(ref.v, np.float32)
+    if dtype == jnp.bfloat16:
+        np.testing.assert_array_equal(got, want)
+    else:
+        # f32: ≤ a few ulp at the activation magnitude (FMA contraction of
+        # the lerp, then cancellation through the W contraction)
+        atol = 4 * np.finfo(np.float32).eps * np.abs(want).max()
+        np.testing.assert_allclose(got, want, rtol=0, atol=atol)
+
+
+def test_shift_lerp_weights_reject_non_2x():
+    """Non-2× row matrices must fall back (guard returns None)."""
+    from ssunet_gan_tpu.ops.resize import _linear_matrix
+    from ssunet_gan_tpu.ops.wminor import _shift_lerp_weights
+
+    rm = np.asarray(_linear_matrix(6, 13, True))
+    assert _shift_lerp_weights(rm, 6) is None
+    rm2 = np.asarray(_linear_matrix(6, 12, True))
+    assert _shift_lerp_weights(rm2, 6) is not None
+
+
 def test_qtensor_wminor_pool_and_dequant():
     x = _rand((2, 8, 6, 4), seed=6)
     q = jnp.clip(jnp.round(x / 0.02), -127, 127).astype(jnp.int8)

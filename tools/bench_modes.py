@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--halo-carry", action="store_true",
                     help="carry halo rows between bands (measured slower "
                          "bf16, neutral int8 — default recomputes)")
+    ap.add_argument("--upsample-impl", default="einsum_hw",
+                    choices=["einsum_hw", "shift_lerp"],
+                    help="W-minor 2x bilinear H-interp lowering "
+                         "(ops/wminor.py set_upsample_impl)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -57,6 +61,10 @@ def main(argv=None):
         set_band_rows(args.band_rows)
     if args.halo_carry:
         set_halo_carry(True)
+    if args.upsample_impl != "einsum_hw":
+        from ssunet_gan_tpu.ops.wminor import set_upsample_impl
+
+        set_upsample_impl(args.upsample_impl)
 
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
