@@ -24,12 +24,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _make_city_dataset(input_root: str, name: str, n: int, size: int,
-                       seed: int = 7) -> None:
+                       seed: int = 7, hard: bool = False) -> None:
     """Structured synthetic 'city' scenes on disk (the r1/r2 workflow's
     style): bright building rectangles (class 1) and dark road stripes
     (class 2) over ground texture, per-class mask files, standard splits.
     Visually learnable — the flagship reaches IoU ≳ 0.9 in ~10 epochs, so
-    eval-path deltas are measured on a meaningful operating point."""
+    eval-path deltas are measured on a meaningful operating point.
+
+    ``hard=True`` (r3 VERDICT weak #5: the saturated-task bars at IoU 0.994
+    say little about realistic operating points) makes the task partially
+    ambiguous so the model plateaus around IoU ~0.7-0.85:
+
+    - annotation misregistration: each building's mask rect is shifted a
+      few px off its rendered position and roads' mask widths jitter;
+    - label noise: some buildings are unlabeled, some mask rects have no
+      image evidence;
+    - appearance ambiguity: some buildings are ground-colored, the ground
+      carries unlabeled red-ish distractor patches, and the whole scene
+      gets sensor noise + a brightness gradient."""
     import cv2
     import numpy as np
 
@@ -49,20 +61,59 @@ def _make_city_dataset(input_root: str, name: str, n: int, size: int,
             for _ in range(3):  # roads: dark stripes
                 t = int(rng.integers(size // 32, size // 16))
                 p = int(rng.integers(0, size - t))
-                sl = (slice(p, p + t), slice(None)) if rng.random() < 0.5 \
+                horiz = rng.random() < 0.5
+                sl = (slice(p, p + t), slice(None)) if horiz \
                     else (slice(None), slice(p, p + t))
                 img[sl] = rng.integers(25, 45)
-                m[..., 2][sl] = 255
+                # hard: the labeled width jitters vs the rendered width
+                mt = t + int(rng.integers(-t // 2, t // 2 + 1)) if hard else t
+                mt = max(mt, 1)
+                msl = (slice(p, p + mt), slice(None)) if horiz \
+                    else (slice(None), slice(p, p + mt))
+                m[..., 2][msl] = 255
+            if hard:
+                for _ in range(4):  # unlabeled red-ish ground distractors
+                    dh = int(rng.integers(size // 20, size // 8))
+                    dw = int(rng.integers(size // 20, size // 8))
+                    y0 = int(rng.integers(0, size - dh))
+                    x0 = int(rng.integers(0, size - dw))
+                    img[y0:y0 + dh, x0:x0 + dw] = (
+                        int(rng.integers(50, 90)), int(rng.integers(50, 90)),
+                        int(rng.integers(120, 180)),
+                    )
             for _ in range(10):  # buildings: bright reddish rects (on top)
                 bh = int(rng.integers(size // 16, size // 5))
                 bw = int(rng.integers(size // 16, size // 5))
                 y0 = int(rng.integers(0, size - bh))
                 x0 = int(rng.integers(0, size - bw))
-                col = (int(rng.integers(40, 90)), int(rng.integers(40, 90)),
-                       int(rng.integers(170, 240)))  # BGR: red-ish roofs
+                if hard and rng.random() < 0.25:  # ground-colored building
+                    col = tuple(int(v) for v in rng.integers(70, 110, 3))
+                else:
+                    col = (int(rng.integers(40, 90)), int(rng.integers(40, 90)),
+                           int(rng.integers(170, 240)))  # BGR: red-ish roofs
                 img[y0 : y0 + bh, x0 : x0 + bw] = col
-                m[y0 : y0 + bh, x0 : x0 + bw, 1] = 255
-                m[y0 : y0 + bh, x0 : x0 + bw, 2] = 0
+                if hard and rng.random() < 0.15:
+                    continue  # unlabeled building
+                my0, mx0 = y0, x0
+                if hard:  # mask misregistration ±3 px
+                    my0 = int(np.clip(y0 + rng.integers(-3, 4), 0, size - bh))
+                    mx0 = int(np.clip(x0 + rng.integers(-3, 4), 0, size - bw))
+                m[my0 : my0 + bh, mx0 : mx0 + bw, 1] = 255
+                m[my0 : my0 + bh, mx0 : mx0 + bw, 2] = 0
+            if hard and rng.random() < 0.3:  # mask rect with no evidence
+                bh = int(rng.integers(size // 16, size // 6))
+                bw = int(rng.integers(size // 16, size // 6))
+                y0 = int(rng.integers(0, size - bh))
+                x0 = int(rng.integers(0, size - bw))
+                m[y0:y0 + bh, x0:x0 + bw, 1] = 255
+                m[y0:y0 + bh, x0:x0 + bw, 2] = 0
+            if hard:  # sensor noise + brightness gradient
+                grad = np.linspace(-18, 18, size, dtype=np.float32)
+                axis = rng.random() < 0.5
+                g2 = grad[None, :, None] if axis else grad[:, None, None]
+                noisy = (img.astype(np.float32) + g2
+                         + rng.normal(0, 10, img.shape).astype(np.float32))
+                img = np.clip(noisy, 0, 255).astype(np.uint8)
             m[..., 0] = 255 - np.maximum(m[..., 1], m[..., 2])  # background
             iid = f"{split}_{i:04d}"
             cv2.imwrite(os.path.join(img_dir, iid + ".png"), img)
@@ -78,6 +129,10 @@ def main(argv=None):
     ap.add_argument("--root", default="/tmp/accuracy_bar")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse the checkpoint already in --root")
+    ap.add_argument("--hard", action="store_true",
+                    help="non-saturated regime: label noise + appearance "
+                         "ambiguity so val IoU plateaus ~0.7-0.85 and the "
+                         "eval-path deltas are informative")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -118,7 +173,8 @@ def main(argv=None):
     )
     model_dir = os.path.join(args.root, "models", "accuracy_bar")
 
-    _make_city_dataset(args.root + "/inputs", "city", args.n, size)
+    _make_city_dataset(args.root + "/inputs", "city", args.n, size,
+                       hard=args.hard)
     if not args.skip_train:
         set_fused_stage(False)  # train on the plain path
         run_experiment(cfg, use_tensorboard=False)
