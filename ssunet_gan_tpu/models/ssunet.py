@@ -33,6 +33,7 @@ from ssunet_gan_tpu.ops.stage_kernel import (
     fused_stage_enabled,
     fused_stage_probe_ok,
     fused_stage_supported,
+    lookahead_enabled,
 )
 from ssunet_gan_tpu.ops.stage_kernel_int8 import (
     QTensor,
@@ -50,7 +51,9 @@ from ssunet_gan_tpu.ops.stage_kernel_train import (
 from ssunet_gan_tpu.ops import blocks as blocks_mod
 from ssunet_gan_tpu.ops.spade import SPADE
 from ssunet_gan_tpu.ops.wminor import (
+    UpTensor,
     WTensor,
+    materialize_up,
     pool2x2,
     pool2x2_with_indices,
     to_nhwc,
@@ -109,13 +112,29 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
     activation never leaves VMEM); the composition path applies it after.
     Returns (stage_output_or_None, logits_or_None).
     """
-    # NB: QTensor/WTensor are themselves NamedTuples — they must not be
-    # unpacked as multi-part inputs
+    # NB: QTensor/WTensor/UpTensor are themselves NamedTuples — they must
+    # not be unpacked as multi-part inputs
     parts = (
         tuple(x)
-        if isinstance(x, (tuple, list)) and not isinstance(x, (QTensor, WTensor))
+        if isinstance(x, (tuple, list))
+        and not isinstance(x, (QTensor, WTensor, UpTensor))
         else (x,)
     )
+    if any(isinstance(p, UpTensor) for p in parts) and (
+        train
+        or block == "bneck"
+        or int8_stage_enabled()
+        or record_sink() is not None
+        or not fused_stage_enabled()
+        or not lookahead_enabled()
+    ):
+        # lazy upsample seams are consumed in-kernel only by the bf16
+        # lookahead-grid eval stage; every other branch materializes the
+        # pending H-interp up front (ops/acts.materialize_up)
+        parts = tuple(
+            materialize_up(p) if isinstance(p, UpTensor) else p for p in parts
+        )
+        x = parts if len(parts) > 1 else parts[0]
     in_planes = sum(p.shape[-1] for p in parts)
     spade_args = (SPADE_CONTEXT, planes, num_classes, planes / ss)
     if not train and record_sink() is not None:
@@ -218,7 +237,7 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
                          -127, 127).astype(jnp.int8)
             y = QTensor(q, s, y.dtype)
         return (y, None) if final_conv is None else (y, final_conv(y))
-    if any(isinstance(p, (QTensor, WTensor)) for p in parts):
+    if any(isinstance(p, (QTensor, WTensor, UpTensor)) for p in parts):
         # composition fallback reached with producer-quantized or W-minor
         # inputs (e.g. a stage whose probe failed consuming a fused skip):
         # back to plain NHWC first

@@ -35,3 +35,118 @@ class WCode(NamedTuple):
     """W-minor (N, H2, C, W2) window-local argmax code (int8, 0..3)."""
 
     c: jax.Array
+
+
+class UpTensor(NamedTuple):
+    """Half-H W-minor activation with a PENDING 2× bilinear H-interp
+    (``align_corners=True``) — the lazy form of the decoder upsample seams.
+
+    ``v`` is (N, H/2, C, W) with the W-interp already applied; ``shape``
+    is the LOGICAL post-upsample NHWC shape, so the fused-stage gates and
+    channel arithmetic reason about the full-res image. The consuming
+    fused stage kernel reads half-res row bands and expands them in VMEM
+    (stage_kernel upsample-on-read) — the full-res tensor never exists in
+    HBM. Every other consumer materializes via :func:`materialize_up`.
+
+    Every materializing lowering of this seam measured worse than the
+    H-major einsum it replaces (BASELINE.md r3/r4 studies: row-gather
+    −12%, dot-reorder unsafe, shift-lerp −23%); not materializing is the
+    remaining route to the seam's ~4.5 ms floor."""
+
+    v: jax.Array  # (N, H/2, C, W)
+
+    @property
+    def dtype(self):
+        return self.v.dtype
+
+    @property
+    def shape(self) -> Tuple[int, int, int, int]:
+        n, hh, c, w = self.v.shape
+        return (n, 2 * hh, w, c)
+
+
+def up_weights_exact(hh: int) -> bool:
+    """True iff the kernel's in-band scalar-weight formula reproduces the
+    f32 interpolation row matrix bit-exactly after bf16 rounding.
+
+    The kernel computes, per output row ``p`` of the 2× H-interp
+    (``align_corners=True``), the unclipped stencil ``j0 = (p-1)//2``,
+    ``j1 = j0+1`` over the ZERO-EXTENDED half-res rows with
+
+        w1 = f32(p·(hh-1) − j0·(2hh-1)) / f32(2hh-1)
+        w0 = f32(j1·(2hh-1) − p·(hh-1)) / f32(2hh-1)
+
+    — each an exact-integer numerator over one correctly-rounded f32
+    division, so each weight is the correctly-rounded f32 of its true
+    rational value (the naive ``pos − j0`` form double-rounds and flips
+    ~2% of rows at bf16 tie boundaries for hh ≥ 128). At the edges the
+    out-of-range source row is zero-masked and its weight provably lands
+    on the in-range row. This guard replays the identical f32 arithmetic
+    in numpy and compares against the f64-derived matrix
+    (ops/resize._linear_matrix) the einsum path uses — cached per size; a
+    False means the caller must keep the einsum lowering."""
+    import numpy as np
+
+    if hh < 2:
+        return False
+    got = _UP_EXACT_CACHE.get(hh)
+    if got is not None:
+        return got
+    import ml_dtypes
+
+    from ssunet_gan_tpu.ops.resize import _linear_matrix
+
+    bf16 = ml_dtypes.bfloat16
+    h2 = 2 * hh
+    rm = np.asarray(_linear_matrix(hh, h2, True))  # (h2, hh) f32
+    ok = True
+    for p in range(h2):
+        j0 = (p - 1) // 2
+        j1 = j0 + 1
+        w1 = np.float32(p * (hh - 1) - j0 * (h2 - 1)) / np.float32(h2 - 1)
+        w0 = np.float32(j1 * (h2 - 1) - p * (hh - 1)) / np.float32(h2 - 1)
+        # rebuild this row from the decomposition (zero outside [0, hh))
+        row = np.zeros(hh, dtype=np.float32)
+        if 0 <= j0 < hh:
+            row[j0] += np.float32(bf16(w0))
+        if 0 <= j1 < hh:
+            row[j1] += np.float32(bf16(w1))
+        want = rm[p].astype(bf16).astype(np.float32)
+        if not np.array_equal(row, want):
+            ok = False
+            break
+        if not (np.isfinite(w0) and np.isfinite(w1)):
+            ok = False
+            break
+    _UP_EXACT_CACHE[hh] = ok
+    return ok
+
+
+_UP_EXACT_CACHE: dict = {}
+
+
+def materialize_up(t: UpTensor) -> WTensor:
+    """Apply the pending H-interp (fallback for non-kernel consumers).
+
+    NOTE ordering: the lazy form applies W-interp first, so this is the
+    W-then-H association — ≤2 ulp f32 from the default einsum_hw (H-then-W)
+    path, identical after bf16 rounding except ties. Only reached when a
+    lazy seam's consumer falls off the fused path (probe failure, int8
+    mode, calibration record, composition fallback)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ssunet_gan_tpu.ops.resize import _linear_matrix
+
+    v = t.v
+    _, hh, _, _ = v.shape
+    rm = np.asarray(_linear_matrix(hh, 2 * hh, True))
+    if v.dtype == jnp.bfloat16:
+        x = jnp.einsum(
+            "ph,nhcw->npcw", jnp.asarray(rm, jnp.bfloat16), v,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        x = jnp.einsum("ph,nhcw->npcw", jnp.asarray(rm), v.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+    return WTensor(x.astype(v.dtype))

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ssunet_gan_tpu.ops.acts import WTensor
+from ssunet_gan_tpu.ops.acts import UpTensor, WTensor, materialize_up
 from ssunet_gan_tpu.ops.spade_kernel import (
     _carried_rows,
     _conv3_row_fn,
@@ -55,9 +55,11 @@ from ssunet_gan_tpu.ops.spade_kernel import (
 
 def _wminor_views(parts):
     """(N, H, C, W) views of a part list (WTensor parts are already there;
-    plain NHWC arrays get the boundary swap)."""
+    an UpTensor yields its HALF-H payload — the caller must carry the up
+    flag; plain NHWC arrays get the boundary swap)."""
     return [
-        p.v if isinstance(p, WTensor) else jnp.swapaxes(p, 2, 3) for p in parts
+        p.v if isinstance(p, (WTensor, UpTensor)) else jnp.swapaxes(p, 2, 3)
+        for p in parts
     ]
 
 # ---------------------------------------------------------------------------
@@ -379,16 +381,20 @@ def resolve_band_th(
     f = _pack_factor(parts[0].shape[0], w) if pack else 1
     wp = w * f
     sub_w = w if f > 1 else 0
+    up = tuple(isinstance(p, UpTensor) for p in parts)
     key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out,
            dtype.name, seg_stack_enabled(int8), int8, _BAND_ROWS,
-           halo_carry_enabled(), lookahead_enabled())
+           halo_carry_enabled(), lookahead_enabled(), up)
     if key in _TH_CACHE:
         return _TH_CACHE[key]
     resolved = None
     for th in _th_candidates(h, wp, planes, part_ch, dtype.itemsize, int8):
+        if any(up) and th % 16 != 0:
+            continue  # half bands must stay 8-row-aligned
         if (
             planes <= 256
             and th <= 32
+            and not any(up)  # upsample-on-read programs are never trusted
             and _vmem_estimate(h, wp, planes, part_ch, dtype.itemsize, th,
                                int8)
             < _TRUST_BYTES
@@ -407,7 +413,7 @@ def resolve_band_th(
         else:
             ok = _probe_compile(
                 h, wp, part_ch, planes, label_nc, nhidden, num_out, dtype,
-                sub_w, th=th,
+                sub_w, th=th, up=up,
             )
         if ok:
             resolved = th
@@ -437,11 +443,12 @@ def fused_stage_probe_ok(
 
 
 def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
-                   th=8) -> bool:
+                   th=8, up=()) -> bool:
     if _interpret():
         return True  # no Mosaic/VMEM on the interpreter path
     s = jax.ShapeDtypeStruct
     csum = sum(part_ch)
+    up = tuple(up) if up else (False,) * len(part_ch)
     # batch 2, not 1: a multi-image grid forces the same cross-block
     # double-buffering schedule the real model call gets (r3: an n=1 probe
     # under-scheduled and passed where the in-model kernel OOMed)
@@ -450,7 +457,8 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
         (seg_r * 8, 3 * (seg_r + 2) * c + 1) if seg_r else (lab, 9 * c + 1)
     )
     args = (
-        [s((2, h, cp, w), dtype) for cp in part_ch]
+        [s((2, h // 2 if up[pi] else h, cp, w), dtype)
+         for pi, cp in enumerate(part_ch)]
         + [
             s((c, 9 * csum + 1), dtype),       # K1cat
             s((c, 9 * c + csum + 1), dtype),   # K2SC
@@ -467,7 +475,7 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
         kf = arrs[len(part_ch) + 5] if num_out is not None else None
         return _stage_call(pv, k1, k2sc, k1s, k2s, k3s, th, KF=kf, sub_w=sub_w,
                            vmem_limit=_VMEM_LIMIT - _PROBE_MARGIN,
-                           seg_r=seg_r, seg_lab=lab)
+                           seg_r=seg_r, seg_lab=lab, up=up)
 
     try:
         jax.jit(fn).lower(*args).compile()
@@ -488,9 +496,56 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
 # ---------------------------------------------------------------------------
 
 
+def _upsample_on_read(scr, cur, lookr, i, th: int, h_img: int, dtype):
+    """Expand a HALF-H part's band window to full-res rows in VMEM.
+
+    The part stores the 2×-bilinear upsample's half-res payload (W-interp
+    done, H-interp pending — :class:`ops.acts.UpTensor`). Band ``i``'s
+    full-res window rows [i·th−5, i·th+th+5) pull half rows j0 = (p−1)//2
+    and j0+1, all inside the assembled half window
+    scratch(5) | cur(th/2) | look(5) = half rows [i·th/2−5, i·th/2+th/2+5):
+    the band-to-band full-res stride th maps exactly to th/2 half rows, so
+    the LOCAL source index per window row is static — only the two scalar
+    weights depend on the (dynamic) absolute row. Out-of-image half rows
+    are zero-masked and the unclipped-stencil weights provably route edge
+    rows' full weight onto the in-range source (ops/acts.up_weights_exact,
+    checked by the producer before any UpTensor exists).
+
+    Weights are quantized to the operand dtype before the f32 lerp, so the
+    expansion matches a bf16-weight H-einsum over the same payload
+    bit-for-bit (pinned in tests/test_stage_kernel.py)."""
+    thh = th // 2
+    hh = h_img // 2
+    xh_half = jnp.concatenate([scr[:], cur[:], lookr[0:5]], axis=0)
+    g0h = i * thh - 5
+    xh_half = _zero_outside_image(xh_half, g0h, hh).astype(jnp.float32)
+    rows = []
+    for t in range(th + 10):
+        lj = (t - 6) // 2 + 5            # static local index of j0
+        pf = i * th + (t - 5)            # absolute full-res row (traced)
+        j0g = i * thh + ((t - 6) // 2)   # absolute half row of lj (traced)
+        # exact-integer numerators over ONE correctly-rounded f32 division:
+        # bit-identical to the f64-derived einsum weights after bf16
+        # rounding (ops/acts.up_weights_exact verifies per size)
+        w1f = (pf * (hh - 1) - j0g * (2 * hh - 1)).astype(jnp.float32) \
+            / jnp.float32(2 * hh - 1)
+        w0f = ((j0g + 1) * (2 * hh - 1) - pf * (hh - 1)).astype(jnp.float32) \
+            / jnp.float32(2 * hh - 1)
+        # quantize to the operand dtype (the einsum path's bf16 weights),
+        # accumulate the 2-term lerp in f32 — exactly the einsum's numerics
+        w0 = w0f.astype(dtype).astype(jnp.float32)
+        w1 = w1f.astype(dtype).astype(jnp.float32)
+        rows.append(xh_half[lj] * w0 + xh_half[lj + 1] * w1)
+    xh = jnp.stack(rows, axis=0).astype(dtype)
+    return _zero_outside_image(xh, i * th - 5, h_img)
+
+
 def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
                  has_final: bool, sub_w: int = 0, seg_r: int = 0,
-                 seg_lab: int = 0, carry: bool = False, look: bool = False):
+                 seg_lab: int = 0, carry: bool = False, look: bool = False,
+                 up: Tuple[bool, ...] = ()):
+    up = tuple(up) if up else (False,) * n_parts
+
     def kernel(*refs):
         # operand order: [xcur_p ×P] [xlook_p ×P if look] K1cat, K2SC, K1s,
         #                K2s, K3s, [KF], out, [scratch_p ×P],
@@ -516,6 +571,13 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
             g0 = (i if look else i - 1) * th - 5
             xh_parts = []
             for p in range(n_parts):
+                if up[p]:
+                    xh_parts.append(
+                        _upsample_on_read(
+                            scratch[p], cur[p], xlook[p], i, th, h_img, dtype
+                        )
+                    )  # (th+10, Cp, W) — expanded from th/2+10 half rows
+                    continue
                 if look:  # scratch(5) | cur(th) | lookahead(5)
                     xh = jnp.concatenate(
                         [scratch[p][:], cur[p], xlook[p][0:5]], axis=0
@@ -592,7 +654,7 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
             # lookahead view of block i+1
             _compute()
             for p in range(n_parts):
-                scratch[p][:] = cur[p][th - 5 :]
+                scratch[p][:] = cur[p][(th // 2 if up[p] else th) - 5 :]
         else:
             pl.when(i > 0)(_compute)
 
@@ -615,41 +677,58 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
 
 def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
                 sub_w: int = 0, vmem_limit: Optional[int] = None,
-                seg_r: int = 0, seg_lab: int = 0):
+                seg_r: int = 0, seg_lab: int = 0,
+                up: Optional[Tuple[bool, ...]] = None):
     """parts_v: list of (N, H, Cp, W) views; returns (N, H, C_out, W)
     where C_out is the stage width, or the final head's class count when
-    ``KF`` folds the model's last 1×1 conv in."""
-    n, h, _, w = parts_v[0].shape
+    ``KF`` folds the model's last 1×1 conv in.
+
+    ``up[p]`` marks a HALF-H part (an :class:`UpTensor` payload,
+    (N, H/2, Cp, W)) whose pending 2× bilinear H-interp runs on read inside
+    the kernel: its blocks/scratch/lookahead use the identical rolling
+    structure at th/2 granularity (band-to-band stride th maps exactly to
+    th/2 half-rows, so the in-band source indices are static), and the
+    full-res tensor never exists in HBM. Requires the lookahead grid and
+    th % 16 == 0 (the half bands must stay 8-row-aligned)."""
+    n = parts_v[0].shape[0]
+    w = parts_v[0].shape[3]
+    up = tuple(bool(u) for u in (up or (False,) * len(parts_v)))
+    # logical image height: up parts store H/2 rows
+    h = parts_v[0].shape[1] * (2 if up[0] else 1)
     c = K2SC.shape[0]
     n_parts = len(parts_v)
     part_ch = tuple(p.shape[2] for p in parts_v)
     nh = h // th
     look = lookahead_enabled()
+    assert not any(up) or (look and th % 16 == 0), (up, look, th)
     grid = (n, nh) if look else (n, nh + 1)
     dtype = parts_v[0].dtype
     c_out = c if KF is None else KF.shape[0]
     carry = halo_carry_enabled()
 
     def cur_spec(p):
+        tb = th // 2 if up[p] else th
         if look:
             return pl.BlockSpec(
-                (None, th, part_ch[p], w),
+                (None, tb, part_ch[p], w),
                 lambda ni, hi: (ni, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            (None, th, part_ch[p], w),
+            (None, tb, part_ch[p], w),
             lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def look_spec(p):
-        # 8-row window at the next band's first rows ((hi+1)·th; th % 8 ==
+        # 8-row window at the next band's first rows ((hi+1)·tb; tb % 8 ==
         # 0 so the block index is exact), clamped into the image for the
         # last band — those rows are ≥ h and masked in-kernel
+        tb = th // 2 if up[p] else th
+        hp = h // 2 if up[p] else h
         return pl.BlockSpec(
             (None, 8, part_ch[p], w),
-            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (th // 8), h // 8 - 1),
+            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (tb // 8), hp // 8 - 1),
                             0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -675,7 +754,7 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
     weights = [K1cat, K2SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
     return pl.pallas_call(
         _make_kernel(n_parts, th, c, w, part_ch, h, KF is not None, sub_w,
-                     seg_r, seg_lab, carry=carry, look=look),
+                     seg_r, seg_lab, carry=carry, look=look, up=up),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
@@ -779,11 +858,15 @@ def fused_eval_stage(
             [kf[0, 0].T, bf.reshape(kf.shape[-1], 1)], axis=1
         ).astype(dtype)  # (ncls, C+1)
 
-    parts_v = _wminor_views(parts)  # (N, H, Cp, W)
-    n, h, w = parts_v[0].shape[0], parts_v[0].shape[1], parts_v[0].shape[3]
+    up = tuple(isinstance(p, UpTensor) for p in parts)
+    parts_v = _wminor_views(parts)  # (N, H, Cp, W); up parts: (N, H/2, Cp, W)
+    # logical image dims come from the part list (UpTensor reports the
+    # full-res NHWC shape), not the possibly-half-H raw views
+    n, h, w = parts[0].shape[0], parts[0].shape[1], parts[0].shape[2]
     f = _pack_factor(n, w)
     sub_w = w if f > 1 else 0
     if f > 1:  # deep level: fill the lanes with f images side by side
+        # (lane packing is W-axis-only, so half-H up parts pack unchanged)
         parts_v = [_pack_lanes(pv, f) for pv in parts_v]
     th = resolve_band_th(
         parts, c, lab, nh, None if KF is None else KF.shape[0], pack=True,
@@ -794,7 +877,7 @@ def fused_eval_stage(
         K1s = pack_seg_stacked(k1s, b1s, seg_r, dtype)
     outv = _stage_call(
         parts_v, K1cat, K2SC, K1s, K2s, K3s, th, KF=KF, sub_w=sub_w,
-        seg_r=seg_r, seg_lab=lab,
+        seg_r=seg_r, seg_lab=lab, up=up,
     )
     if f > 1:
         outv = _unpack_lanes(outv, f)

@@ -118,10 +118,12 @@ def fused_train_enabled() -> bool:
 
 # Band height for the train kernels' rolling-halo grids, env/API-tunable
 # (SSUNET_GAN_TPU_TRAIN_TH / set_train_band_th). r3 device-trace sweep on
-# the flagship b=8 bf16 step: th=8 163.6 ms/step, th=16 158.9 (custom-call
-# 72.2 → 67.4 ms), th=32 159.4 (flat — the train kernels' extra VMEM
-# liveness caps the win earlier than eval's ≤32 sweep). Default 16.
-_TRAIN_TH = int(os.environ.get("SSUNET_GAN_TPU_TRAIN_TH", "16"))
+# the flagship b=8 bf16 step (prologue grid): th=8 163.6 ms/step, th=16
+# 158.9, th=32 159.4. r4 re-sweep under the lookahead grid: th=16 116.4,
+# th=32 114.75 (device traces), th=64 Mosaic stack-OOM (65.5 MB > the
+# 64 MB scoped cap — the fwd kernel, not probed like eval's tier).
+# Default 32 (the r4 winner).
+_TRAIN_TH = int(os.environ.get("SSUNET_GAN_TPU_TRAIN_TH", "32"))
 
 
 def set_train_band_th(th: int) -> None:

@@ -37,13 +37,20 @@ import numpy as np
 
 from ssunet_gan_tpu.ops import pool as nhwc_pool
 from ssunet_gan_tpu.ops import resize as nhwc_resize
-from ssunet_gan_tpu.ops.acts import WCode, WTensor
+from ssunet_gan_tpu.ops.acts import (
+    UpTensor,
+    WCode,
+    WTensor,
+    materialize_up,
+    up_weights_exact,
+)
 from ssunet_gan_tpu.ops.resize import _linear_matrix
 from ssunet_gan_tpu.ops.stage_kernel_int8 import QTensor
 
 __all__ = [
-    "WTensor", "WCode", "is_wminor", "to_nhwc", "to_wminor_view",
+    "WTensor", "WCode", "UpTensor", "is_wminor", "to_nhwc", "to_wminor_view",
     "pool2x2", "pool2x2_with_indices", "unpool2x2", "upsample2x",
+    "materialize_up", "set_lazy_upsample", "lazy_upsample_enabled",
 ]
 
 
@@ -51,11 +58,15 @@ Activation = Union[jax.Array, WTensor, QTensor]
 
 
 def is_wminor(t) -> bool:
-    return isinstance(t, WTensor) or (isinstance(t, QTensor) and t.wminor)
+    return isinstance(t, (WTensor, UpTensor)) or (
+        isinstance(t, QTensor) and t.wminor
+    )
 
 
 def to_nhwc(t: Activation):
     """Any activation → its NHWC form (QTensor stays a QTensor)."""
+    if isinstance(t, UpTensor):
+        t = materialize_up(t)
     if isinstance(t, WTensor):
         return jnp.swapaxes(t.v, 2, 3)
     if isinstance(t, QTensor) and t.wminor:
@@ -65,6 +76,8 @@ def to_nhwc(t: Activation):
 
 def to_wminor_view(t: Activation) -> jax.Array:
     """The raw (N, H, C, W) view of an unquantized activation."""
+    if isinstance(t, UpTensor):
+        t = materialize_up(t)
     if isinstance(t, WTensor):
         return t.v
     assert not isinstance(t, QTensor), "quantized parts are handled per-path"
@@ -278,6 +291,8 @@ _unpool_w.defvjp(_up_fwd, _up_bwd)
 
 def pool2x2(t: Activation) -> Activation:
     """``nn.MaxPool2d(2, 2)`` on any activation form, preserving the form."""
+    if isinstance(t, UpTensor):
+        t = materialize_up(t)
     if isinstance(t, WTensor):
         return WTensor(_max_pool_w(t.v))
     if isinstance(t, QTensor):
@@ -292,6 +307,8 @@ def pool2x2_with_indices(t: Activation):
 
     W-minor inputs return a :class:`WCode`; NHWC inputs return the NHWC
     code of ``ops.pool.max_pool_2x2_with_indices``."""
+    if isinstance(t, UpTensor):
+        t = materialize_up(t)
     if isinstance(t, WTensor):
         p, code = _max_pool_idx_w(t.v)
         return WTensor(p), WCode(code)
@@ -308,6 +325,8 @@ def unpool2x2(values: Activation, code) -> Activation:
     """``nn.MaxUnpool2d(2, stride=2)``; a :class:`WCode` keeps the result
     in the W-minor domain (converting the SMALL pre-unpool tensor instead
     of the 4×-larger unpooled one)."""
+    if isinstance(values, UpTensor):
+        values = materialize_up(values)
     if isinstance(values, QTensor):
         values = values.dequant()  # unpool sites are bf16 in every arch
     if isinstance(code, WCode):
@@ -344,6 +363,26 @@ def set_upsample_impl(name: str) -> None:
 
 def upsample_impl() -> str:
     return _UPSAMPLE_IMPL
+
+
+_LAZY_UPSAMPLE: Union[bool, None] = None
+
+
+def set_lazy_upsample(enabled) -> None:
+    """Lazy 2× bilinear upsample (``UpTensor``): defer the H-interp to the
+    consuming fused stage kernel's upsample-on-read path — the full-res
+    tensor never exists in HBM (ops/stage_kernel.py). Only W-minor bf16
+    eval seams take the lazy form; every other consumer materializes.
+
+    ``None`` = auto (ON — measured 224.4 → 242.6 tiles/s on the flagship
+    b=32 @512² bf16-fused bench, r4; bit-exact vs the materializing
+    einsum path, pinned in tests/test_stage_kernel.py)."""
+    global _LAZY_UPSAMPLE
+    _LAZY_UPSAMPLE = enabled
+
+
+def lazy_upsample_enabled() -> bool:
+    return True if _LAZY_UPSAMPLE is None else bool(_LAZY_UPSAMPLE)
 
 
 def _shift_lerp_weights(rm: np.ndarray, h: int):
@@ -395,6 +434,19 @@ def upsample2x(t: Activation, align_corners: bool = True) -> Activation:
         return nhwc_resize.upsample_bilinear(t, 2, align_corners=align_corners)
     v = t.v
     _, h, _, w = v.shape
+    if (
+        lazy_upsample_enabled()
+        and align_corners
+        and v.dtype == jnp.bfloat16
+        and up_weights_exact(h)
+    ):
+        # lazy form: W-interp now (minor-axis einsum on the HALF-H tensor),
+        # H-interp deferred to the consuming kernel (upsample-on-read)
+        cmj = jnp.asarray(_linear_matrix(w, 2 * w, align_corners),
+                          dtype=jnp.bfloat16)
+        x = jnp.einsum("qw,nhcw->nhcq", cmj, v,
+                       preferred_element_type=jnp.float32)
+        return UpTensor(x.astype(v.dtype))
     rm = np.asarray(_linear_matrix(h, 2 * h, align_corners))
     cm = np.asarray(_linear_matrix(w, 2 * w, align_corners))
     lerp = (

@@ -522,3 +522,84 @@ def test_bneck_lookahead_grid_matches_prologue(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# Lazy upsample (upsample-on-read): the decoder's 2× bilinear H-interp runs
+# inside the consuming kernel from half-res row bands (ops/acts.UpTensor).
+# ---------------------------------------------------------------------------
+
+
+def test_up_weights_exact_all_model_sizes():
+    """The kernel's integer-ratio f32 weight formula must reproduce the
+    f64-derived einsum weights bit-exactly after bf16 rounding for every
+    half-height the model families produce (guard: ops/acts)."""
+    from ssunet_gan_tpu.ops.acts import up_weights_exact
+
+    for hh in (4, 8, 16, 32, 64, 128, 256, 512):
+        assert up_weights_exact(hh), hh
+
+
+def test_lazy_upsample_stage_call_bit_exact_bf16(rng):
+    """Direct _stage_call: a half-H part expanded on read must match the
+    same call on the materialized full part — bit-exact in bf16 (the
+    weights and the 2-term f32 lerp equal the H-einsum's numerics)."""
+    from ssunet_gan_tpu.ops import stage_kernel as sk
+    from ssunet_gan_tpu.ops.acts import UpTensor, materialize_up
+
+    n, h, w, c = 2, 32, 16, 8
+    cp0, cp1 = 4, 8
+    lab, nh_ = 3, 4
+
+    def arr(*s):
+        return jnp.asarray(rng.normal(size=s).astype(np.float32))
+
+    for dtype, exact in ((jnp.bfloat16, True), (jnp.float32, False)):
+        skip = arr(n, h, cp0, w).astype(dtype)
+        half = arr(n, h // 2, cp1, w).astype(dtype)
+        full = materialize_up(UpTensor(half))
+        K1cat = arr(c, 9 * (cp0 + cp1) + 1).astype(dtype)
+        K2SC = arr(c, 9 * c + (cp0 + cp1) + 1).astype(dtype)
+        K1s = arr(lab, 9 * c + 1).astype(dtype)
+        K2s = arr(nh_, 9 * lab + 1).astype(dtype)
+        K3s = arr(2 * c, 9 * nh_ + 1).astype(dtype)
+        got = sk._stage_call([skip, half], K1cat, K2SC, K1s, K2s, K3s, 16,
+                             up=(False, True))
+        want = sk._stage_call([skip, full.v], K1cat, K2SC, K1s, K2s, K3s, 16)
+        a = np.asarray(got.astype(jnp.float32))
+        b = np.asarray(want.astype(jnp.float32))
+        if exact:
+            np.testing.assert_array_equal(a, b)
+        else:
+            # f32 weights differ from the f64-derived matrix by ≤1 ulp and
+            # the lerp reassociates the einsum — magnitude-scaled tolerance
+            np.testing.assert_allclose(a, b, atol=3e-6 * np.abs(b).max())
+
+
+def test_lazy_upsample_model_parity(rng):
+    """Flagship eval forward with lazy upsample seams vs the default fused
+    path, plus fallbacks: train-mode and composition consumers must
+    materialize transparently."""
+    from ssunet_gan_tpu.ops.wminor import set_lazy_upsample
+
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
+    variables = jit_init(model, jax.random.PRNGKey(0), x, train=False)
+
+    set_fused_stage(True)
+    try:
+        set_lazy_upsample(False)
+        want = model.apply(variables, x, False)
+        set_lazy_upsample(True)
+        got = model.apply(variables, x, False)
+        # composition fallback (fused stages off) with lazy ON must
+        # materialize via _dq / to_nhwc and still match the composition
+        set_fused_stage(False)
+        comp_lazy = model.apply(variables, x, False)
+    finally:
+        set_lazy_upsample(None)
+    comp = model.apply(variables, x, False)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(comp_lazy), np.asarray(comp))

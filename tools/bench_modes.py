@@ -36,6 +36,9 @@ def main(argv=None):
                     choices=["einsum_hw", "shift_lerp"],
                     help="W-minor 2x bilinear H-interp lowering "
                          "(ops/wminor.py set_upsample_impl)")
+    ap.add_argument("--lazy-upsample", action="store_true",
+                    help="defer the decoder upsample H-interp to the "
+                         "consuming kernel (upsample-on-read, UpTensor)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -65,6 +68,10 @@ def main(argv=None):
         from ssunet_gan_tpu.ops.wminor import set_upsample_impl
 
         set_upsample_impl(args.upsample_impl)
+    if args.lazy_upsample:
+        from ssunet_gan_tpu.ops.wminor import set_lazy_upsample
+
+        set_lazy_upsample(True)
 
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
