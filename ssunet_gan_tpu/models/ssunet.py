@@ -123,7 +123,6 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
     if any(isinstance(p, UpTensor) for p in parts) and (
         train
         or block == "bneck"
-        or int8_stage_enabled()
         or record_sink() is not None
         or not fused_stage_enabled()
         or not lookahead_enabled()

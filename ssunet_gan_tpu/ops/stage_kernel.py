@@ -408,7 +408,7 @@ def resolve_band_th(
 
             ok = _probe_compile_int8(
                 h, wp, part_ch, planes, label_nc, nhidden, num_out,
-                dtype, sub_w, th=th,
+                dtype, sub_w, th=th, up=up,
             )
         else:
             ok = _probe_compile(

@@ -321,11 +321,41 @@ def xla_int8_block(parts: Sequence[jax.Array], block_bundle: Tuple,
 # ---------------------------------------------------------------------------
 
 
+def _upsample_on_read_s8(scr, cur, lookr, i, th: int, h_img: int):
+    """s8 variant of ``ops.stage_kernel._upsample_on_read``: expand a
+    HALF-H quantized part's band window to full-res s8 rows in VMEM.
+
+    The half tensor's scale is the part scale folded into the conv weight
+    columns, so the 2-tap lerp requantizes with a plain round+clip —
+    q_out = clip(round(w0·q[j0] + w1·q[j1])). vs the materializing path
+    (quantize the bf16 upsampled tensor) this adds one extra rounding step
+    (≤0.5 quantization steps) on interpolated rows — inside the int8
+    path's approximation envelope, re-measured by the accuracy bars."""
+    thh = th // 2
+    hh = h_img // 2
+    xh_half = jnp.concatenate([scr[:], cur[:], lookr[0:5]], axis=0)
+    g0h = i * thh - 5
+    xh_half = _zero_outside_image(xh_half, g0h, hh).astype(jnp.float32)
+    rows = []
+    for t in range(th + 10):
+        lj = (t - 6) // 2 + 5
+        pf = i * th + (t - 5)
+        j0g = i * thh + ((t - 6) // 2)
+        w1 = (pf * (hh - 1) - j0g * (2 * hh - 1)).astype(jnp.float32) \
+            / jnp.float32(2 * hh - 1)
+        w0 = ((j0g + 1) * (2 * hh - 1) - pf * (hh - 1)).astype(jnp.float32) \
+            / jnp.float32(2 * hh - 1)
+        r = xh_half[lj] * w0 + xh_half[lj + 1] * w1
+        rows.append(jnp.clip(jnp.round(r), -127.0, 127.0))
+    xh = jnp.stack(rows, axis=0).astype(jnp.int8)
+    return _zero_outside_image(xh, i * th - 5, h_img)
+
+
 def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                       h_img: int, has_final: bool, dtype, sub_w: int = 0,
                       out_inv_scale: Optional[float] = None,
                       seg_r: int = 0, seg_lab: int = 0, carry: bool = False,
-                      look: bool = False):
+                      look: bool = False, up: Tuple[bool, ...] = ()):
     """``out_inv_scale`` (a compile-time constant, = 127/abs_max from the
     static calibration) switches the epilogue to emit s8 directly: the
     SPADE-modulated stage output is quantized in-kernel, so the HBM write,
@@ -341,6 +371,7 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
     path's approximation envelope (accuracy bars: tools/accuracy_bar.py).
     """
     csum = sum(part_ch)
+    up = tuple(up) if up else (False,) * n_parts
 
     def kernel(*refs):
         # operands: [qx_p ×P], [qlook_p ×P if look], Wq1, Wq2, Wqs,
@@ -364,6 +395,13 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
             first = i == 0 if look else i == 1
             xh_parts = []
             for p in range(n_parts):
+                if up[p]:
+                    xh_parts.append(
+                        _upsample_on_read_s8(
+                            scratch[p], cur[p], qlook[p], i, th, h_img
+                        )
+                    )  # (th+10, Cp, W) s8, expanded from th/2+10 half rows
+                    continue
                 if look:  # scratch(5) | cur(th) | lookahead(5)
                     xh = jnp.concatenate(
                         [scratch[p][:], cur[p], qlook[p][0:5]], axis=0
@@ -476,7 +514,7 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
             # computes from (5-row scratch | block i | 8-row lookahead)
             _compute()
             for p in range(n_parts):
-                scratch[p][:] = cur[p][th - 5 :]
+                scratch[p][:] = cur[p][(th // 2 if up[p] else th) - 5 :]
         else:
             pl.when(i > 0)(_compute)
 
@@ -502,37 +540,51 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
                      dtype, KF=None, sub_w: int = 0,
                      out_inv_scale: Optional[float] = None,
                      seg_r: int = 0, seg_lab: int = 0,
-                     vmem_limit: Optional[int] = None):
+                     vmem_limit: Optional[int] = None,
+                     up: Optional[Tuple[bool, ...]] = None):
     """parts_q: list of (N, H, Cp, W) int8 views; returns (N, H, C_out, W)
     in ``dtype`` (C_out = stage width, or classes when KF folds the head),
-    or int8 when ``out_inv_scale`` is set (kernel-to-kernel int8 flow)."""
-    n, h, _, w = parts_q[0].shape
+    or int8 when ``out_inv_scale`` is set (kernel-to-kernel int8 flow).
+
+    ``up[p]`` marks a HALF-H s8 part (a quantized :class:`ops.acts.UpTensor`
+    payload) expanded on read inside the kernel — see
+    ``ops.stage_kernel._stage_call``. The s8 expansion requantizes the
+    2-tap lerp per row (the half tensor's scale IS the part scale folded
+    into the weights, so requant is a plain round+clip)."""
+    up = tuple(bool(u) for u in (up or (False,) * len(parts_q)))
+    n = parts_q[0].shape[0]
+    w = parts_q[0].shape[3]
+    h = parts_q[0].shape[1] * (2 if up[0] else 1)
     c = Wq2.shape[0]
     n_parts = len(parts_q)
     part_ch = tuple(p.shape[2] for p in parts_q)
     nh = h // th
     look = lookahead_enabled()
+    assert not any(up) or (look and th % 16 == 0), (up, look, th)
     grid = (n, nh) if look else (n, nh + 1)
     c_out = c if KF is None else KF.shape[0]
     out_dtype = dtype if out_inv_scale is None else jnp.int8
 
     def cur_spec(p):
+        tb = th // 2 if up[p] else th
         if look:
             return pl.BlockSpec(
-                (None, th, part_ch[p], w),
+                (None, tb, part_ch[p], w),
                 lambda ni, hi: (ni, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            (None, th, part_ch[p], w),
+            (None, tb, part_ch[p], w),
             lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def look_spec(p):
+        tb = th // 2 if up[p] else th
+        hp = h // 2 if up[p] else h
         return pl.BlockSpec(
             (None, 8, part_ch[p], w),
-            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (th // 8), h // 8 - 1),
+            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (tb // 8), hp // 8 - 1),
                             0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -560,7 +612,7 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
     return pl.pallas_call(
         _make_kernel_int8(n_parts, th, c, w, part_ch, h, KF is not None, dtype,
                           sub_w, out_inv_scale, seg_r, seg_lab, carry=carry,
-                          look=look),
+                          look=look, up=up),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
@@ -583,7 +635,7 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
 
 
 def _probe_compile_int8(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
-                        th=8) -> bool:
+                        th=8, up=()) -> bool:
     """Probe-compile the INT8 stage program for one shape signature (the
     bf16 probe in ops/stage_kernel.py doesn't transfer: the s8 slabs halve
     the VMEM working set, which is exactly what lets the taller bands fit).
@@ -593,6 +645,7 @@ def _probe_compile_int8(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
         return True
     s = jax.ShapeDtypeStruct
     csum = sum(part_ch)
+    up = tuple(up) if up else (False,) * len(part_ch)
     dtype = jnp.dtype(dtype)
     seg_r = pick_seg_r(th + 4) if seg_stack_enabled(True) else 0
     k1s_shape = (
@@ -601,7 +654,8 @@ def _probe_compile_int8(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
     args = (
         # batch 2 forces the real cross-block double-buffering schedule
         # (see ops/stage_kernel._probe_compile)
-        [s((2, h, cp, w), jnp.int8) for cp in part_ch]
+        [s((2, h // 2 if up[pi] else h, cp, w), jnp.int8)
+         for pi, cp in enumerate(part_ch)]
         + [
             s((c, 9 * csum), jnp.int8),   # Wq1
             s((c, 9 * c), jnp.int8),      # Wq2
@@ -621,7 +675,7 @@ def _probe_compile_int8(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
         return _stage_call_int8(
             pq, wq1, wq2, wqs, dq, k1s, k2s, k3s, th, dtype, KF=kf,
             sub_w=sub_w, seg_r=seg_r, seg_lab=lab,
-            vmem_limit=_VMEM_LIMIT - _PROBE_MARGIN,
+            vmem_limit=_VMEM_LIMIT - _PROBE_MARGIN, up=up,
         )
 
     try:
@@ -683,15 +737,26 @@ def fused_eval_stage_int8(
         return _CALIB_SCALES.get(f"{calib_key}:{i}")
 
     def _qin(i, p):
-        """Quantized W-minor (N, H, Cp, W) view + scale of part ``i``."""
+        """Quantized W-minor (N, H, Cp, W) view + scale of part ``i``.
+
+        An :class:`ops.acts.UpTensor` part quantizes its HALF-H payload (the
+        calibrated range was recorded on the materialized full tensor — a
+        convex combination of half rows, so amax(full) ≤ amax(half) and the
+        static scale clips at most as much as on the materialized path);
+        the kernel expands + requantizes it on read."""
+        from ssunet_gan_tpu.ops.acts import UpTensor
+
         if isinstance(p, QTensor):
             q = p.q if p.wminor else jnp.swapaxes(p.q, 2, 3)
             return q, jnp.float32(p.scale)
-        if isinstance(p, WTensor):
+        if isinstance(p, (WTensor, UpTensor)):
             return quantize_tensor(p.v, _amax(i))
         q, s = quantize_tensor(p, _amax(i))
         return jnp.swapaxes(q, 2, 3), s
 
+    from ssunet_gan_tpu.ops.acts import UpTensor as _UpT
+
+    up = tuple(isinstance(p, _UpT) for p in parts)
     qparts, sx = zip(*(_qin(i, p) for i, p in enumerate(parts)))
 
     # fold BN eval scale into conv weights, then the per-part input scale
@@ -774,6 +839,7 @@ def fused_eval_stage_int8(
     outv = _stage_call_int8(
         parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th, dtype, KF=KF,
         sub_w=sub_w, out_inv_scale=out_inv, seg_r=seg_r, seg_lab=lab,
+        up=up,
     )
     if f > 1:
         outv = _unpack_lanes(outv, f)

@@ -313,3 +313,46 @@ def test_int8_lookahead_matches_prologue(rng):
     finally:
         set_lookahead(None)
     np.testing.assert_array_equal(got, want)
+
+
+def test_int8_stage_lazy_upsample_close_to_materialized(rng):
+    """int8 upsample-on-read: an UpTensor part (half-H s8, expanded +
+    requantized per row in the kernel) must track the same stage fed the
+    materialized full-res part within quantization error — the lerp
+    requant adds ≤0.5 step on interpolated rows (stage_kernel_int8
+    _upsample_on_read_s8)."""
+    from ssunet_gan_tpu.ops.acts import UpTensor, WTensor, materialize_up
+    from ssunet_gan_tpu.ops.blocks import BasicBlock
+    from ssunet_gan_tpu.ops.spade import SPADE
+
+    planes, lab, nh = 16, 3, 4.0
+    n, h, w = 2, 32, 16
+    cp0, cp1 = 8, 16
+    skip = jnp.asarray(rng.normal(size=(n, h, cp0, w)).astype(np.float32))
+    half = jnp.asarray(rng.normal(size=(n, h // 2, cp1, w)).astype(np.float32))
+    skip, half = skip.astype(jnp.bfloat16), half.astype(jnp.bfloat16)
+    full = materialize_up(UpTensor(half))
+
+    block = BasicBlock(planes, in_planes=cp0 + cp1)
+    x_nhwc = (
+        jnp.swapaxes(skip, 2, 3).astype(jnp.float32),
+        jnp.swapaxes(full.v, 2, 3).astype(jnp.float32),
+    )
+    bvars = jax.jit(lambda: block.init(jax.random.PRNGKey(5), x_nhwc, True))()
+    spade = SPADE("spadebatch3x3", planes, lab, nh)
+    y0 = jnp.zeros((n, h, w, planes), jnp.float32)
+    svars = jax.jit(lambda: spade.init(jax.random.PRNGKey(6), y0, y0))()
+    bp = block.apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+
+    want = np.asarray(
+        fused_eval_stage_int8((WTensor(skip), full), bp, sp), np.float32
+    )
+    got = np.asarray(
+        fused_eval_stage_int8((WTensor(skip), UpTensor(half)), bp, sp),
+        np.float32,
+    )
+    assert np.isfinite(got).all()
+    scale = np.abs(want).max() + 1e-6
+    rms = np.sqrt(np.mean((got - want) ** 2)) / scale
+    assert rms < 0.02, f"relative RMS {rms:.4f}"
