@@ -39,6 +39,9 @@ def main(argv=None):
     ap.add_argument("--lazy-upsample", action="store_true",
                     help="defer the decoder upsample H-interp to the "
                          "consuming kernel (upsample-on-read, UpTensor)")
+    ap.add_argument("--trace", default="",
+                    help="xprof trace dir for the timed loops (device "
+                         "self-time via tools/trace_stats.py)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -91,12 +94,21 @@ def main(argv=None):
             return jax.nn.sigmoid(model.apply(variables, image, False))
 
         jax.block_until_ready(forward(x))
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(args.iters):
-            out = forward(x)
-        jax.block_until_ready(out)
-        dt = time.perf_counter() - t0
+
+        def loop():
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(args.iters):
+                out = forward(x)
+            jax.block_until_ready(out)
+            return time.perf_counter() - t0
+
+        if args.trace:
+            tdir = os.path.join(args.trace, label)
+            with jax.profiler.trace(tdir):
+                dt = loop()
+        else:
+            dt = loop()
         tps = args.batch * args.iters / dt
         print(json.dumps({"mode": label, "tiles_per_sec": round(tps, 2),
                           "ms_per_batch": round(1e3 * dt / args.iters, 2)}),
