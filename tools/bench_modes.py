@@ -42,6 +42,12 @@ def main(argv=None):
     ap.add_argument("--trace", default="",
                     help="xprof trace dir for the timed loops (device "
                          "self-time via tools/trace_stats.py)")
+    ap.add_argument("--arch", default="UNet_R_SS_v2",
+                    help="registry arch to bench (e.g. UNet_B_SS for the "
+                         "bneck eval kernel)")
+    ap.add_argument("--pool-impl", default="",
+                    choices=["", "reshape6", "shift_dot", "shift_slice"],
+                    help="W-minor pool lowering A/B (ops/wminor.py)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -75,11 +81,15 @@ def main(argv=None):
         from ssunet_gan_tpu.ops.wminor import set_lazy_upsample
 
         set_lazy_upsample(True)
+    if args.pool_impl:
+        from ssunet_gan_tpu.ops.wminor import set_pool_impl
+
+        set_pool_impl(args.pool_impl)
 
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
-    model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
+    model = build_model(args.arch, num_classes=3, input_channels=3)
     x0 = jnp.zeros((args.batch, args.tile, args.tile, 3), dtype)
     set_fused_stage(False)
     variables = jit_init(model, jax.random.PRNGKey(0), x0, train=False)
