@@ -64,8 +64,25 @@ from ssunet_gan_tpu.ops.wminor import (
 SPADE_CONTEXT = "spadebatch3x3"  # archs.py:483 (param-free norm is bypassed anyway)
 
 
-def _up(x) -> jax.Array:
-    """Bilinear ×2 preserving the activation form (W-minor stays W-minor)."""
+def _up(x, train: bool = False) -> jax.Array:
+    """Bilinear ×2 preserving the activation form (W-minor stays W-minor).
+
+    ``train=True`` forces the materializing einsum_hw lowering: the lazy
+    ``UpTensor`` form is consumed in-kernel only by the EVAL stage kernels;
+    in training it would be materialized back by ``_spade_stage`` in the
+    W-then-H einsum order, whose H contraction wraps the 2×-wider tensor in
+    relayout copies (measured −16% on the int8 eval interim state,
+    BASELINE.md r4) — and its autodiff transpose pays the same again."""
+    if train:
+        from ssunet_gan_tpu.ops import wminor as _wm
+
+        # scoped off: upsample2x reads the global flag at trace time
+        prev = _wm._LAZY_UPSAMPLE
+        _wm.set_lazy_upsample(False)
+        try:
+            return upsample2x(x, align_corners=True)
+        finally:
+            _wm.set_lazy_upsample(prev)
     return upsample2x(x, align_corners=True)
 
 
@@ -293,13 +310,13 @@ class SSUNet(nn.Module):
                      out_key="conv3_1:0")
         x4_0 = stage(_qpool(x3_0), 4, "conv4_0", "SPADE4_0")
 
-        x3_1 = stage((x3_0, _up(x4_0)), 3, "conv3_1", "SPADE3_1")
-        x2_2 = stage((x2_0, _up(x3_1)), 2, "conv2_2", "SPADE2_2")
-        x1_3 = stage((x1_0, _up(x2_2)), 1, "conv1_3", "SPADE1_3")
+        x3_1 = stage((x3_0, _up(x4_0, train)), 3, "conv3_1", "SPADE3_1")
+        x2_2 = stage((x2_0, _up(x3_1, train)), 2, "conv2_2", "SPADE2_2")
+        x1_3 = stage((x1_0, _up(x2_2, train)), 1, "conv1_3", "SPADE1_3")
 
         # the final 1×1 conv rides the last fused stage in eval
         _, logits = _spade_stage(
-            (x0_0, _up(x1_3)), f[0], C, ss, "conv0_4", "SPADE0_4", train,
+            (x0_0, _up(x1_3, train)), f[0], C, ss, "conv0_4", "SPADE0_4", train,
             final_conv=Conv2d(self.num_classes, 1, name="final",
                               in_channels=f[0]),
             block="vgg",
@@ -330,13 +347,13 @@ class UNetBSS(nn.Module):
         x3_0 = stage(_qpool(x2_0), 3, "conv3_0", "SPADE3_0")
         x4_0 = stage(_qpool(x3_0), 4, "conv4_0", "SPADE4_0")
 
-        x3_1 = stage((x3_0, _up(x4_0)), 3, "conv3_1", "SPADE3_1")
-        x2_2 = stage((x2_0, _up(x3_1)), 2, "conv2_2", "SPADE2_2")
-        x1_3 = stage((x1_0, _up(x2_2)), 1, "conv1_3", "SPADE1_3")
+        x3_1 = stage((x3_0, _up(x4_0, train)), 3, "conv3_1", "SPADE3_1")
+        x2_2 = stage((x2_0, _up(x3_1, train)), 2, "conv2_2", "SPADE2_2")
+        x1_3 = stage((x1_0, _up(x2_2, train)), 1, "conv1_3", "SPADE1_3")
 
         # the final 1×1 conv rides the last fused stage in eval
         _, logits = _spade_stage(
-            (x0_0, _up(x1_3)), f[0], C, ss, "conv0_4", "SPADE0_4", train,
+            (x0_0, _up(x1_3, train)), f[0], C, ss, "conv0_4", "SPADE0_4", train,
             final_conv=Conv2d(self.num_classes, 1, name="final",
                               in_channels=f[0]),
             block="bneck",
@@ -375,14 +392,14 @@ class UNetRSS(nn.Module):
                      out_key="conv4_1:0")
 
         x5_0 = stage(_qpool(x4_0), f[5], "conv5_0", "SPADE5_0")
-        x4_1 = stage((x4_0, _up(x5_0)), f[4], "conv4_1", "SPADE4_1")
-        x3_1 = stage((x3_0, _up(x4_1)), f[3], "conv3_1", "SPADE3_1")
-        x2_2 = stage((x2_0, _up(x3_1)), f[2], "conv2_2", "SPADE2_2")
-        x1_3 = stage((x1_0, _up(x2_2)), f[1], "conv1_3", "SPADE1_3")
+        x4_1 = stage((x4_0, _up(x5_0, train)), f[4], "conv4_1", "SPADE4_1")
+        x3_1 = stage((x3_0, _up(x4_1, train)), f[3], "conv3_1", "SPADE3_1")
+        x2_2 = stage((x2_0, _up(x3_1, train)), f[2], "conv2_2", "SPADE2_2")
+        x1_3 = stage((x1_0, _up(x2_2, train)), f[1], "conv1_3", "SPADE1_3")
 
         # the final 1×1 conv rides the last fused stage in eval
         _, logits = _basic_spade_stage(
-            (x0_0, _up(x1_3)), f[0], C, ss, "conv0_4", "SPADE0_4", train,
+            (x0_0, _up(x1_3, train)), f[0], C, ss, "conv0_4", "SPADE0_4", train,
             final_conv=_final_conv(self.num_classes, in_channels=f[0]),
         )
         return logits
@@ -450,12 +467,12 @@ class UNetRSSv2(nn.Module):
 
         dec_2 = stage((enc_2, dec_3_up), f[2], "conv2_1", "SPADE2_1")
 
-        dec_1 = stage((enc_1, _up(dec_2)), f[1], "conv1_1", "SPADE1_1")
+        dec_1 = stage((enc_1, _up(dec_2, train)), f[1], "conv1_1", "SPADE1_1")
 
         # the final 1×1 conv rides the last fused stage (logits leave the
         # kernel directly; the full-res dec_0 never hits HBM in eval)
         _, logits = _basic_spade_stage(
-            (enc_0, _up(dec_1)), f[0], C, ss, "conv0_1", "SPADE0_1", train,
+            (enc_0, _up(dec_1, train)), f[0], C, ss, "conv0_1", "SPADE0_1", train,
             final_conv=_final_conv(self.num_classes, in_channels=f[0]),
         )
         return logits
