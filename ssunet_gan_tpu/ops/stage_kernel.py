@@ -82,9 +82,15 @@ def fused_stage_enabled() -> bool:
     return bool(_FUSED_STAGE)
 
 
-_VMEM_LIMIT = 64 * 1024 * 1024  # scoped-VMEM cap for the fat stages (v5e has
-# 128 MB VMEM; 64 MB leaves XLA room for the op's I/O pipelining). The packed
-# deep levels genuinely need ~29-45 MB of stack.
+import os as _os
+
+_VMEM_LIMIT = int(
+    _os.environ.get("SSUNET_GAN_TPU_VMEM_LIMIT", str(64 * 1024 * 1024))
+)  # scoped-VMEM cap for the fat stages (v5e has
+# 128 MB VMEM; 64 MB leaves XLA room for the op's I/O pipelining — raising
+# it admits taller bands (th=64 stack-OOMs two decoder signatures at
+# 64 MB) at the cost of DMA double-buffering headroom; env knob for A/B
+# sweeps). The packed deep levels genuinely need ~29-45 MB of stack.
 _PROBE_MARGIN = 6 * 1024 * 1024  # probes compile against a TIGHTER cap: the
 # r3 OOM showed the in-model schedule can need ~1 MB more stack than the
 # isolated probe program, so probe-pass must imply model-pass with headroom.
@@ -353,7 +359,84 @@ def fused_stage_supported(
 
 # Resolved band heights (trusted or probe-passed), keyed by the kernel's
 # full shape signature; False-y value = no feasible height (XLA fallback).
+# Verdicts persist on disk (probe_th.json next to the XLA cache): FAILED
+# probe compiles are not XLA-disk-cacheable, so without this every process
+# re-pays ~40-60 s per doomed th=64 remote compile before falling back —
+# several minutes of every bench/entry-point cold start. The file is
+# salted with a source hash of the kernel modules (stale verdicts after a
+# kernel edit could stack-OOM or under-resolve).
 _TH_CACHE: dict = {}
+_TH_CACHE_LOADED = False
+
+
+def _th_cache_file():
+    cache = _os.environ.get("SSUNET_GAN_TPU_XLA_CACHE")
+    if cache == "0":
+        return None
+    if not cache:
+        cache = _os.path.join(
+            _os.path.expanduser("~"), ".cache", "ssunet_gan_tpu", "xla"
+        )
+    return _os.path.join(cache, "probe_th.json")
+
+
+def _th_cache_salt() -> str:
+    import hashlib
+
+    h = hashlib.sha256()
+    base = _os.path.dirname(_os.path.abspath(__file__))
+    for mod in ("spade_kernel.py", "stage_kernel.py", "stage_kernel_int8.py"):
+        try:
+            with open(_os.path.join(base, mod), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(mod.encode())
+    return h.hexdigest()[:16]
+
+
+def _th_cache_load() -> None:
+    global _TH_CACHE_LOADED
+    _TH_CACHE_LOADED = True
+    path = _th_cache_file()
+    if not path:
+        return
+    import ast
+    import json
+
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+        if blob.get("salt") != _th_cache_salt():
+            return
+        for k, v in blob.get("verdicts", {}).items():
+            _TH_CACHE[ast.literal_eval(k)] = v  # reprs of literal tuples
+    except Exception:
+        pass
+
+
+def _th_cache_store(key, value) -> None:
+    path = _th_cache_file()
+    if not path:
+        return
+    import json
+
+    try:
+        blob = {"salt": _th_cache_salt(), "verdicts": {}}
+        try:
+            with open(path) as f:
+                old = json.load(f)
+            if old.get("salt") == _th_cache_salt():
+                blob = old
+        except Exception:
+            pass
+        blob["verdicts"][repr(key)] = value
+        tmp = path + f".tmp{_os.getpid()}"
+        _os.makedirs(_os.path.dirname(path), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(blob, f)
+        _os.replace(tmp, path)
+    except Exception:
+        pass
 
 
 def resolve_band_th(
@@ -385,6 +468,8 @@ def resolve_band_th(
     key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out,
            dtype.name, seg_stack_enabled(int8), int8, _BAND_ROWS,
            halo_carry_enabled(), lookahead_enabled(), up)
+    if not _TH_CACHE_LOADED:
+        _th_cache_load()
     if key in _TH_CACHE:
         return _TH_CACHE[key]
     resolved = None
@@ -419,6 +504,8 @@ def resolve_band_th(
             resolved = th
             break
     _TH_CACHE[key] = resolved
+    if not _interpret():  # interpret-mode probes always "pass" — don't
+        _th_cache_store(key, resolved)  # poison the real-hardware cache
     return resolved
 
 
