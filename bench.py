@@ -87,7 +87,12 @@ def main() -> None:
     # leg 2 — opt-in int8 eval mode (static max-calibration PTQ): the
     # quantized counterpart of the headline number, reported separately
     # because it is an approximation (accuracy bars: tools/accuracy_bar.py)
-    if on_tpu and _time_left() > 60:
+    # the int8 leg stacks calibration (a composition-forward compile) +
+    # the s8 forward compile: ~3-4 min cold over the tunnel. Attempting it
+    # without that headroom ends with the parent watchdog SIGTERMing the
+    # child mid-TPU-op — which can wedge the axon tunnel for every later
+    # process (CLAUDE.md) — so skip honestly unless it can actually finish.
+    if on_tpu and _time_left() > 150:
         try:
             from ssunet_gan_tpu.infer.calibrate import calibrate_int8
             from ssunet_gan_tpu.ops.stage_kernel_int8 import (
@@ -123,8 +128,8 @@ def main() -> None:
         result["int8_skipped"] = "deadline"
         _emit(result)
 
-    # leg 3 — whole-scene end-to-end
-    if _time_left() > 60:
+    # leg 3 — whole-scene end-to-end (same honest-skip rule as leg 2)
+    if _time_left() > 90:
         try:
             result.update(bench_scene(model, variables, on_tpu))
         except Exception as exc:
