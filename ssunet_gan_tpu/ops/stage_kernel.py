@@ -467,7 +467,7 @@ def resolve_band_th(
     up = tuple(isinstance(p, UpTensor) for p in parts)
     key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out,
            dtype.name, seg_stack_enabled(int8), int8, _BAND_ROWS,
-           halo_carry_enabled(), lookahead_enabled(), up)
+           halo_carry_enabled(), lookahead_enabled(), up, _VMEM_LIMIT)
     if not _TH_CACHE_LOADED:
         _th_cache_load()
     if key in _TH_CACHE:
