@@ -85,12 +85,13 @@ def fused_stage_enabled() -> bool:
 import os as _os
 
 _VMEM_LIMIT = int(
-    _os.environ.get("SSUNET_GAN_TPU_VMEM_LIMIT", str(64 * 1024 * 1024))
-)  # scoped-VMEM cap for the fat stages (v5e has
-# 128 MB VMEM; 64 MB leaves XLA room for the op's I/O pipelining — raising
-# it admits taller bands (th=64 stack-OOMs two decoder signatures at
-# 64 MB) at the cost of DMA double-buffering headroom; env knob for A/B
-# sweeps). The packed deep levels genuinely need ~29-45 MB of stack.
+    _os.environ.get("SSUNET_GAN_TPU_VMEM_LIMIT", str(96 * 1024 * 1024))
+)  # scoped-VMEM cap for the fat stages (v5e has 128 MB VMEM). 96 MB
+# admits th=64 for the two decoder signatures that stack-OOM at the old
+# 64 MB cap: measured 242.5 → 248.3 bf16 tiles/s (+2.4%), int8 neutral
+# (r4 A/B, reproduced twice); the remaining 32 MB is XLA's room for the
+# op's I/O double-buffering, which the same A/B shows is still enough.
+# Env knob for sweeps. The packed deep levels need ~29-45 MB of stack.
 _PROBE_MARGIN = 6 * 1024 * 1024  # probes compile against a TIGHTER cap: the
 # r3 OOM showed the in-model schedule can need ~1 MB more stack than the
 # isolated probe program, so probe-pass must imply model-pass with headroom.
