@@ -101,6 +101,7 @@ def main() -> None:
             )
 
             calibrate_int8(model, variables, xh[:8], batch_size=8)
+            _CAL["ready"] = True  # leg 3 reuses the installed scales
             set_int8_stage(True)
 
             @jax.jit
@@ -119,8 +120,9 @@ def main() -> None:
             result["int8_error"] = f"{type(exc).__name__}: {exc}"[:160]
         finally:
             try:
+                # int8 mode off, but KEEP the calibration scales installed —
+                # the scene leg's int8 sub-measure reuses them
                 set_int8_stage(False)
-                set_int8_calibration(None)
             except Exception:
                 pass
         _emit(result)
@@ -138,6 +140,9 @@ def main() -> None:
     else:
         result["scene_skipped"] = "deadline"
         _emit(result)
+
+
+_CAL = {"ready": False}
 
 
 def bench_scene(model, variables, on_tpu):
@@ -182,7 +187,14 @@ def bench_scene(model, variables, on_tpu):
     patches, _ = patch_and_preprocess(scene, scene, config, raw_uint8=True)
     host_s = time.perf_counter() - t0
 
-    fwd, dev_vars = _get_forward(model, variables, None, normalize=True)
+    # the device leg runs the BENCHED eval configuration: bf16 activations
+    # (accuracy bars: ΔIoU −0.0002, BASELINE.md) with the forward emitting
+    # floor-quantized uint8 probs — the merge's own first step, so results
+    # are identical while the prob tensor moves 4× fewer bytes. The merge
+    # output stays device-resident (the leg's contract excludes D2H).
+    dev_dtype = jnp.bfloat16 if on_tpu else None
+    fwd, dev_vars = _get_forward(model, variables, None, normalize=True,
+                                 dtype=dev_dtype, quantize_probs=True)
     n = len(patches)
     pad = (-n) % INFER_BATCH
     if pad:
@@ -194,19 +206,42 @@ def bench_scene(model, variables, on_tpu):
         jax.block_until_ready(dev)
         return dev
 
-    def device_only(dev):
-        probs = jnp.concatenate([fwd(dev_vars, c) for c in dev])[:n]
+    def device_only(dev, f, dv):
+        probs = jnp.concatenate([f(dv, c) for c in dev])[:n]
         merged = merge_patches_device(
             probs, coords, side, side, config["patch_size"],
             config["num_classes"], overlap=config["patch_overlap"],
+            return_device=True,
         )
         jax.block_until_ready(merged)
 
     dev = h2d()
-    device_only(dev)  # cold: compiles forward + merge
+    device_only(dev, fwd, dev_vars)  # cold: compiles forward + merge
     t0 = time.perf_counter()
-    device_only(dev)
+    device_only(dev, fwd, dev_vars)
     device_s = time.perf_counter() - t0
+
+    # int8 scene sub-leg: reuse leg 2's calibration (kernel-to-kernel s8
+    # flow through the same uint8-prob merge)
+    int8_device_s = None
+    if on_tpu and _CAL.get("ready") and _time_left() > 120:
+        try:
+            from ssunet_gan_tpu.ops.stage_kernel_int8 import set_int8_stage
+
+            set_int8_stage(True)
+            fwd8, dev_vars8 = _get_forward(
+                model, variables, None, normalize=True, dtype=dev_dtype,
+                quantize_probs=True)
+            device_only(dev, fwd8, dev_vars8)  # compile
+            t0 = time.perf_counter()
+            device_only(dev, fwd8, dev_vars8)
+            int8_device_s = time.perf_counter() - t0
+        except Exception:
+            pass
+        finally:
+            from ssunet_gan_tpu.ops.stage_kernel_int8 import set_int8_stage
+
+            set_int8_stage(False)
     del dev
     t0 = time.perf_counter()
     dev = h2d()
@@ -216,10 +251,12 @@ def bench_scene(model, variables, on_tpu):
     # -- overlapped end-to-end pipeline --
     def run_e2e():
         t0 = time.perf_counter()
-        probs, cds, p_size = pipelined_scene_forward(model, variables, scene, config)
+        probs, cds, p_size = pipelined_scene_forward(
+            model, variables, scene, config, dtype=dev_dtype,
+            quantize_probs=True)
         merged = merge_patches_device(
             probs, cds, side, side, p_size, config["num_classes"],
-            overlap=config["patch_overlap"],
+            overlap=config["patch_overlap"], return_device=True,
         )
         jax.block_until_ready(merged)
         return time.perf_counter() - t0
@@ -231,13 +268,16 @@ def bench_scene(model, variables, on_tpu):
     e2e_s = run_e2e()
     if _time_left() > 30:
         e2e_s = min(e2e_s, run_e2e())
-    return {
+    out = {
         "scene_e2e_s": round(e2e_s, 3),
         "scene_px_per_sec": round(side * side / e2e_s, 0),
         "scene_host_s": round(host_s, 3),
         "scene_h2d_s": round(h2d_s, 3),
         "scene_device_s": round(device_s, 3),
     }
+    if int8_device_s is not None:
+        out["scene_device_int8_s"] = round(int8_device_s, 3)
+    return out
 
 
 def _watchdog_main() -> None:

@@ -126,9 +126,14 @@ def _merge_jit(scene_h: int, scene_w: int, in_size: int, p_size: int, num_classe
     cm = rm
 
     def merge(probs: jax.Array, coords: jax.Array) -> jax.Array:
-        # probs: (N, in_size, in_size, C) sigmoid outputs
+        # probs: (N, in_size, in_size, C) sigmoid outputs — or the SAME
+        # values already floor-quantized to uint8 by the forward
+        # (infer/api quantize_probs: 4× fewer prob bytes, identical math)
         # 1. reference quantization: floor to uint8 (api:144 truncating cast)
-        q = jnp.floor(probs.astype(jnp.float32) * 255.0)
+        if probs.dtype == jnp.uint8:
+            q = probs.astype(jnp.float32)
+        else:
+            q = jnp.floor(probs.astype(jnp.float32) * 255.0)
         # 2. bilinear resize in_size→p_size (cv2 default half-pixel centers),
         #    rounding like cv2's uint8 output
         q = jnp.einsum("ph,nhwc->npwc", rm, q)
@@ -227,7 +232,10 @@ def _merge_grid_jit(scene_h: int, scene_w: int, in_size: int, p_size: int,
         constrain = lambda x: x
 
     def merge(probs: jax.Array) -> jax.Array:
-        q_ = jnp.floor(probs.astype(jnp.float32) * 255.0)
+        if probs.dtype == jnp.uint8:  # pre-quantized by the forward
+            q_ = probs.astype(jnp.float32)
+        else:
+            q_ = jnp.floor(probs.astype(jnp.float32) * 255.0)
         q_ = jnp.einsum("ph,nhwc->npwc", rm, q_)
         q_ = jnp.round(jnp.einsum("qw,npwc->npqc", rm, q_))
         binary = (q_ > 127.0).astype(jnp.float32)
@@ -257,23 +265,32 @@ def merge_patches_device(
     num_classes: int,
     overlap: Optional[float] = None,
     mesh=None,
-) -> np.ndarray:
+    return_device: bool = False,
+):
     """Device-resident patch_merge: returns the (H, W, C) uint8 {0,255} mask.
 
     With ``overlap`` given and ``p_size`` divisible by the grid step, the
     O(canvas) overlap-add fast path runs; otherwise the general scan.
     ``mesh`` (fast path only) shards the canvases row-wise over the 'data'
     axis for scenes larger than one chip's HBM.
+
+    ``return_device=True`` returns the device array without the D2H fetch
+    (serving pipelines that keep consuming on-device, and the bench's
+    device-only leg — its contract excludes D2H).
     """
     in_size = int(probs.shape[1])
+    out = None
     if overlap is not None:
         step, i_w, i_h = _grid_geometry(scene_h, scene_w, p_size, overlap)
         if p_size % step == 0 and len(probs) == 4 * i_w * i_h:
             fn = _merge_grid_jit(scene_h, scene_w, in_size, p_size, num_classes,
                                  step, i_w, i_h, mesh=mesh)
-            return np.asarray(jax.device_get(fn(jnp.asarray(probs))))
-    fn = _merge_jit(scene_h, scene_w, in_size, p_size, num_classes)
-    out = fn(jnp.asarray(probs), jnp.asarray(coords, jnp.int32))
+            out = fn(jnp.asarray(probs))
+    if out is None:
+        fn = _merge_jit(scene_h, scene_w, in_size, p_size, num_classes)
+        out = fn(jnp.asarray(probs), jnp.asarray(coords, jnp.int32))
+    if return_device:
+        return out
     return np.asarray(jax.device_get(out))
 
 

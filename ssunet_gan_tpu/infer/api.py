@@ -275,24 +275,37 @@ def _norm_consts():
     return jnp.asarray(a), jnp.asarray(b)
 
 
-def _get_forward(model, variables, mesh, normalize: bool = False):
+def _get_forward(model, variables, mesh, normalize: bool = False,
+                 dtype=None, quantize_probs: bool = False):
+    """``dtype`` casts the (normalized) input to the given activation
+    dtype — pass ``jnp.bfloat16`` for the benched TPU eval configuration
+    (the default ``None`` keeps the incoming dtype: the reference-parity
+    f32 API path). ``quantize_probs=True`` emits ``floor(sigmoid·255)``
+    uint8 instead of f32 probabilities — exactly the merge's own first
+    quantization step (data/tiling.py), so downstream results are
+    identical while the prob tensor moves 4× fewer bytes."""
     from ssunet_gan_tpu.ops.spade_kernel import fused_spade_mode
     from ssunet_gan_tpu.ops.stage_kernel import (
         _BAND_ROWS,
+        bias_tile_enabled,
         fused_stage_enabled,
         halo_carry_enabled,
         lookahead_enabled,
+        pair_dots_enabled,
         seg_stack_enabled,
     )
     from ssunet_gan_tpu.ops.stage_kernel_int8 import (
         int8_calibration,
         int8_stage_enabled,
     )
+    from ssunet_gan_tpu.ops.wminor import lazy_pool_enabled
 
     key = (model, mesh, id(variables), normalize, fused_spade_mode(),
            fused_stage_enabled(), int8_stage_enabled(),
            id(int8_calibration()), seg_stack_enabled(int8_stage_enabled()),
-           lookahead_enabled(), halo_carry_enabled(), _BAND_ROWS)
+           lookahead_enabled(), halo_carry_enabled(), _BAND_ROWS,
+           dtype, quantize_probs, bias_tile_enabled(), lazy_pool_enabled(),
+           pair_dots_enabled(64))
     hit = _FORWARD_CACHE.get(key)
     if hit is not None:
         return hit[0], hit[1]
@@ -310,10 +323,15 @@ def _get_forward(model, variables, mesh, normalize: bool = False):
     def apply_fn(vs, x):
         if normalize:  # uint8 tiles: normalization fused on device
             x = x.astype(jnp.float32) * na + nb
+        if dtype is not None:
+            x = x.astype(dtype)
         out = model.apply(vs, x, False)
         if isinstance(out, (list, tuple)):
             out = out[-1]
-        return jax.nn.sigmoid(out)
+        p = jax.nn.sigmoid(out)
+        if quantize_probs:
+            return jnp.floor(p.astype(jnp.float32) * 255.0).astype(jnp.uint8)
+        return p
 
     if mesh is not None:
         # Under a mesh the batch is sharded over 'data'; the fused Pallas
@@ -381,7 +399,8 @@ def _chunked_forward(model, variables, patches: np.ndarray, deep_supervision: bo
 
 
 def pipelined_scene_forward(model, variables, scene: np.ndarray, config: Dict,
-                            mesh=None):
+                            mesh=None, dtype=None,
+                            quantize_probs: bool = False):
     """Whole-scene tile forward with host-prep / H2D / device overlap.
 
     The plain path (``patch_and_preprocess`` → ``_chunked_forward``) fully
@@ -400,7 +419,8 @@ def pipelined_scene_forward(model, variables, scene: np.ndarray, config: Dict,
     coords = grid_coords(scene.shape[0], scene.shape[1], p_size,
                          config["patch_overlap"])
     in_h, in_w = config["input_h"], config["input_w"]
-    fwd, dev_vars = _get_forward(model, variables, mesh, normalize=True)
+    fwd, dev_vars = _get_forward(model, variables, mesh, normalize=True,
+                                 dtype=dtype, quantize_probs=quantize_probs)
 
     chunk = INFER_BATCH
     if mesh is not None:

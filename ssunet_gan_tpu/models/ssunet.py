@@ -51,8 +51,12 @@ from ssunet_gan_tpu.ops.stage_kernel_train import (
 from ssunet_gan_tpu.ops import blocks as blocks_mod
 from ssunet_gan_tpu.ops.spade import SPADE
 from ssunet_gan_tpu.ops.wminor import (
+    DownQTensor,
+    DownTensor,
     UpTensor,
     WTensor,
+    materialize_down,
+    materialize_down_q,
     materialize_up,
     pool2x2,
     pool2x2_with_indices,
@@ -64,16 +68,36 @@ from ssunet_gan_tpu.ops.wminor import (
 SPADE_CONTEXT = "spadebatch3x3"  # archs.py:483 (param-free norm is bypassed anyway)
 
 
-def _up(x, train: bool = False) -> jax.Array:
+def _up(x, materialize: bool = False, calib_key: str = None) -> jax.Array:
     """Bilinear ×2 preserving the activation form (W-minor stays W-minor).
 
-    ``train=True`` forces the materializing einsum_hw lowering: the lazy
-    ``UpTensor`` form is consumed in-kernel only by the EVAL stage kernels;
-    in training it would be materialized back by ``_spade_stage`` in the
-    W-then-H einsum order, whose H contraction wraps the 2×-wider tensor in
-    relayout copies (measured −16% on the int8 eval interim state,
-    BASELINE.md r4) — and its autodiff transpose pays the same again."""
-    if train:
+    ``materialize=True`` forces the materializing einsum_hw lowering: the
+    lazy ``UpTensor`` form is consumed in-kernel only by the EVAL stage
+    kernels; train mode and bneck stages would have it materialized back by
+    ``_spade_stage`` in the W-then-H einsum order, whose H contraction wraps
+    the 2×-wider tensor in relayout copies (measured −16% on the int8 eval
+    interim state, BASELINE.md r4) — and in train the autodiff transpose
+    pays the same again. Callers pass ``train`` (or ``True`` for bneck
+    consumers).
+
+    ``calib_key`` names the consumer's stage input ("<stage>:<part>"): in
+    int8 record mode the W-interp-only HALF payload's abs-max is recorded
+    under ``"<calib_key>:half"`` so the int8 kernel's upsample-on-read
+    quantizes the half tensor against its own range (each full row is a
+    convex combination of half rows — amax(half) ≥ amax(full))."""
+    if calib_key is not None and record_sink() is not None:
+        import numpy as np
+
+        from ssunet_gan_tpu.ops.resize import _linear_matrix
+        from ssunet_gan_tpu.ops.stage_kernel_int8 import record_range
+
+        v = to_nhwc(x).astype(jnp.float32)
+        cm = jnp.asarray(np.asarray(_linear_matrix(v.shape[2], 2 * v.shape[2],
+                                                   True)))
+        half = jnp.einsum("qw,nhwc->nhqc", cm, v,
+                          precision=jax.lax.Precision.HIGHEST)
+        record_range(f"{calib_key}:half", jnp.max(jnp.abs(half)))
+    if materialize:
         from ssunet_gan_tpu.ops import wminor as _wm
 
         # scoped off: upsample2x reads the global flag at trace time
@@ -134,21 +158,46 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
     parts = (
         tuple(x)
         if isinstance(x, (tuple, list))
-        and not isinstance(x, (QTensor, WTensor, UpTensor))
+        and not isinstance(x, (QTensor, WTensor, UpTensor, DownTensor,
+                               DownQTensor))
         else (x,)
     )
     if any(isinstance(p, UpTensor) for p in parts) and (
         train
-        or block == "bneck"
         or record_sink() is not None
         or not fused_stage_enabled()
         or not lookahead_enabled()
+        # the bneck kernel consumes the lazy form since r5, but only on
+        # its fused path (int8 mode and unfused widths materialize)
+        or (block == "bneck" and (
+            int8_stage_enabled()
+            or not fused_bneck_supported(
+                parts, planes, num_classes, int(max(planes / ss, 4)),
+                None if final_conv is None else num_classes)
+        ))
     ):
         # lazy upsample seams are consumed in-kernel only by the bf16
         # lookahead-grid eval stage; every other branch materializes the
         # pending H-interp up front (ops/acts.materialize_up)
         parts = tuple(
             materialize_up(p) if isinstance(p, UpTensor) else p for p in parts
+        )
+        x = parts if len(parts) > 1 else parts[0]
+    if any(isinstance(p, (DownTensor, DownQTensor)) for p in parts) and (
+        train
+        or block == "bneck"
+        or record_sink() is not None
+        or not fused_stage_enabled()
+        or not lookahead_enabled()
+    ):
+        # lazy pool seams (pool-on-read) are consumed in-kernel only by
+        # the lookahead-grid eval stages (bf16 and s8); every other branch
+        # applies the pending 2×2 max up front (ops/acts.materialize_down)
+        parts = tuple(
+            materialize_down(p) if isinstance(p, DownTensor)
+            else materialize_down_q(p) if isinstance(p, DownQTensor)
+            else p
+            for p in parts
         )
         x = parts if len(parts) > 1 else parts[0]
     in_planes = sum(p.shape[-1] for p in parts)
@@ -190,7 +239,9 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
         and block == "bneck"
         and fused_stage_enabled()
         and not int8_stage_enabled()  # int8 covers the BasicBlock/VGG dots
-        and fused_bneck_supported(parts, planes)
+        and fused_bneck_supported(
+            parts, planes, num_classes, int(max(planes / ss, 4)),
+            None if final_conv is None else num_classes)
     ):
         bp = Bottleneck(planes, in_planes=in_planes, name=bname)(None, False)
         sp = SPADE(*spade_args, name=sname)(None, None)
@@ -253,7 +304,8 @@ def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
                          -127, 127).astype(jnp.int8)
             y = QTensor(q, s, y.dtype)
         return (y, None) if final_conv is None else (y, final_conv(y))
-    if any(isinstance(p, (QTensor, WTensor, UpTensor)) for p in parts):
+    if any(isinstance(p, (QTensor, WTensor, UpTensor, DownTensor,
+                          DownQTensor)) for p in parts):
         # composition fallback reached with producer-quantized or W-minor
         # inputs (e.g. a stage whose probe failed consuming a fused skip):
         # back to plain NHWC first
@@ -310,13 +362,13 @@ class SSUNet(nn.Module):
                      out_key="conv3_1:0")
         x4_0 = stage(_qpool(x3_0), 4, "conv4_0", "SPADE4_0")
 
-        x3_1 = stage((x3_0, _up(x4_0, train)), 3, "conv3_1", "SPADE3_1")
-        x2_2 = stage((x2_0, _up(x3_1, train)), 2, "conv2_2", "SPADE2_2")
-        x1_3 = stage((x1_0, _up(x2_2, train)), 1, "conv1_3", "SPADE1_3")
+        x3_1 = stage((x3_0, _up(x4_0, train, "conv3_1:1")), 3, "conv3_1", "SPADE3_1")
+        x2_2 = stage((x2_0, _up(x3_1, train, "conv2_2:1")), 2, "conv2_2", "SPADE2_2")
+        x1_3 = stage((x1_0, _up(x2_2, train, "conv1_3:1")), 1, "conv1_3", "SPADE1_3")
 
         # the final 1×1 conv rides the last fused stage in eval
         _, logits = _spade_stage(
-            (x0_0, _up(x1_3, train)), f[0], C, ss, "conv0_4", "SPADE0_4", train,
+            (x0_0, _up(x1_3, train, "conv0_4:1")), f[0], C, ss, "conv0_4", "SPADE0_4", train,
             final_conv=Conv2d(self.num_classes, 1, name="final",
                               in_channels=f[0]),
             block="vgg",
@@ -347,13 +399,18 @@ class UNetBSS(nn.Module):
         x3_0 = stage(_qpool(x2_0), 3, "conv3_0", "SPADE3_0")
         x4_0 = stage(_qpool(x3_0), 4, "conv4_0", "SPADE4_0")
 
-        x3_1 = stage((x3_0, _up(x4_0, train)), 3, "conv3_1", "SPADE3_1")
+        # x3_1 (512 planes) never fuses — force the einsum_hw H-then-W
+        # order there (the lazy form would materialize W-then-H, the
+        # measured-slow association); the fused-width stages consume the
+        # lazy form in-kernel (bneck upsample-on-read, r5)
+        x3_1 = stage((x3_0, _up(x4_0, True)), 3, "conv3_1", "SPADE3_1")
         x2_2 = stage((x2_0, _up(x3_1, train)), 2, "conv2_2", "SPADE2_2")
         x1_3 = stage((x1_0, _up(x2_2, train)), 1, "conv1_3", "SPADE1_3")
 
         # the final 1×1 conv rides the last fused stage in eval
         _, logits = _spade_stage(
-            (x0_0, _up(x1_3, train)), f[0], C, ss, "conv0_4", "SPADE0_4", train,
+            (x0_0, _up(x1_3, train)), f[0], C, ss, "conv0_4", "SPADE0_4",
+            train,
             final_conv=Conv2d(self.num_classes, 1, name="final",
                               in_channels=f[0]),
             block="bneck",
@@ -392,14 +449,14 @@ class UNetRSS(nn.Module):
                      out_key="conv4_1:0")
 
         x5_0 = stage(_qpool(x4_0), f[5], "conv5_0", "SPADE5_0")
-        x4_1 = stage((x4_0, _up(x5_0, train)), f[4], "conv4_1", "SPADE4_1")
-        x3_1 = stage((x3_0, _up(x4_1, train)), f[3], "conv3_1", "SPADE3_1")
-        x2_2 = stage((x2_0, _up(x3_1, train)), f[2], "conv2_2", "SPADE2_2")
-        x1_3 = stage((x1_0, _up(x2_2, train)), f[1], "conv1_3", "SPADE1_3")
+        x4_1 = stage((x4_0, _up(x5_0, train, "conv4_1:1")), f[4], "conv4_1", "SPADE4_1")
+        x3_1 = stage((x3_0, _up(x4_1, train, "conv3_1:1")), f[3], "conv3_1", "SPADE3_1")
+        x2_2 = stage((x2_0, _up(x3_1, train, "conv2_2:1")), f[2], "conv2_2", "SPADE2_2")
+        x1_3 = stage((x1_0, _up(x2_2, train, "conv1_3:1")), f[1], "conv1_3", "SPADE1_3")
 
         # the final 1×1 conv rides the last fused stage in eval
         _, logits = _basic_spade_stage(
-            (x0_0, _up(x1_3, train)), f[0], C, ss, "conv0_4", "SPADE0_4", train,
+            (x0_0, _up(x1_3, train, "conv0_4:1")), f[0], C, ss, "conv0_4", "SPADE0_4", train,
             final_conv=_final_conv(self.num_classes, in_channels=f[0]),
         )
         return logits
@@ -467,12 +524,12 @@ class UNetRSSv2(nn.Module):
 
         dec_2 = stage((enc_2, dec_3_up), f[2], "conv2_1", "SPADE2_1")
 
-        dec_1 = stage((enc_1, _up(dec_2, train)), f[1], "conv1_1", "SPADE1_1")
+        dec_1 = stage((enc_1, _up(dec_2, train, "conv1_1:1")), f[1], "conv1_1", "SPADE1_1")
 
         # the final 1×1 conv rides the last fused stage (logits leave the
         # kernel directly; the full-res dec_0 never hits HBM in eval)
         _, logits = _basic_spade_stage(
-            (enc_0, _up(dec_1, train)), f[0], C, ss, "conv0_1", "SPADE0_1", train,
+            (enc_0, _up(dec_1, train, "conv0_1:1")), f[0], C, ss, "conv0_1", "SPADE0_1", train,
             final_conv=_final_conv(self.num_classes, in_channels=f[0]),
         )
         return logits

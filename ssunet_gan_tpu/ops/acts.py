@@ -65,6 +65,73 @@ class UpTensor(NamedTuple):
         return (n, 2 * hh, w, c)
 
 
+class DownTensor(NamedTuple):
+    """Full-res W-minor activation with a PENDING 2×2 max-pool — the lazy
+    form of the encoder pool seams (pool-on-read, r5).
+
+    ``v`` is the producer's (N, 2H, C, 2W) output; ``shape`` is the
+    LOGICAL post-pool NHWC shape. The consuming fused stage kernel reads
+    full-res row bands (2 rows per pooled row, W-pair max + even-column
+    decimation via a one-hot MXU dot in VMEM) — the pooled tensor never
+    exists in HBM, which kills the two full relayout copies XLA emits for
+    the 6D-reshape pool lowering (copy.13/14, ~11 ms/step at level 0 of
+    the r4 eval profile; every materializing alternative measured slower —
+    BASELINE.md r3 pool study). Non-kernel consumers materialize via
+    :func:`materialize_down`.
+
+    The flagship's level-0/1 pool CODES are never consumed (the decoder
+    index-unpools only the top 3 levels, archs.py:593-667), so the lazy
+    seam carries values only; a consumer that does want the indices goes
+    through the materializing path."""
+
+    v: jax.Array  # (N, 2H, C, 2W)
+
+    @property
+    def dtype(self):
+        return self.v.dtype
+
+    @property
+    def shape(self) -> Tuple[int, int, int, int]:
+        n, h2, c, w2 = self.v.shape
+        return (n, h2 // 2, w2 // 2, c)
+
+
+class DownQTensor(NamedTuple):
+    """Producer-quantized (s8) full-res W-minor activation with a PENDING
+    2×2 max-pool — :class:`DownTensor` for the calibrated int8
+    kernel-to-kernel flow (the producer emits s8 at a static scale;
+    max-pooling commutes with symmetric quantization, so the pooled
+    tensor's scale IS the producer's, and amax(full) = amax(pooled) —
+    every full value above the pooled range would BE a window max)."""
+
+    q: jax.Array  # (N, 2H, C, 2W) int8
+    scale: float
+    dtype: object  # the activation dtype the tensor logically stands in for
+
+    @property
+    def shape(self) -> Tuple[int, int, int, int]:
+        n, h2, c, w2 = self.q.shape
+        return (n, h2 // 2, w2 // 2, c)
+
+
+def materialize_down_q(t: DownQTensor):
+    """Apply the pending pool on the s8 payload (wminor QTensor out)."""
+    from ssunet_gan_tpu.ops import wminor
+    from ssunet_gan_tpu.ops.stage_kernel_int8 import QTensor
+
+    return QTensor(wminor._max_pool_w(t.q), t.scale, t.dtype, wminor=True)
+
+
+def materialize_down(t: DownTensor):
+    """Apply the pending 2×2 max-pool (fallback for non-kernel consumers):
+    returns the pooled W-minor activation via the standard lowering.
+    Calls the pool primitive directly — ``pool2x2`` would re-emit the
+    lazy form."""
+    from ssunet_gan_tpu.ops import wminor
+
+    return wminor.WTensor(wminor._max_pool_w(t.v))
+
+
 def up_weights_exact(hh: int) -> bool:
     """True iff the kernel's in-band scalar-weight formula reproduces the
     f32 interpolation row matrix bit-exactly after bf16 rounding.

@@ -220,9 +220,16 @@ def _conv3_rows(slabs, kp, t_out: int, dtype, sub_w: int = 0, post=None):
     return jnp.stack([row(t) for t in range(t_out)], axis=0)
 
 
-def _conv3_row_fn(slabs, kp, dtype, sub_w: int = 0, post=None):
+def _conv3_row_fn(slabs, kp, dtype, sub_w: int = 0, post=None,
+                  ones: bool = True):
     """Row function of :func:`_conv3_rows` (``row(t) -> (Cout, W)``), for
-    callers that compute arbitrary row subsets (the halo-carry path)."""
+    callers that compute arbitrary row subsets (the halo-carry path).
+
+    ``ones=False`` drops the bias ones-row from the contraction (the
+    bias-tile mode: K stays exactly 9·ΣCp — a +1 column pushes the
+    busiest decoder signatures over an exact 128-multiple of K, costing a
+    whole extra MXU K-tile pass per row; the caller adds the bias as a
+    pre-broadcast (C, W) tile in ``post``)."""
     w = slabs[0].shape[-1]
     ones_row = jnp.ones((1, w), dtype)
 
@@ -233,7 +240,8 @@ def _conv3_row_fn(slabs, kp, dtype, sub_w: int = 0, post=None):
                 r = slab[t + dy]
                 for dx in range(3):
                     taps.append(_shift_w(r, dx, sub_w))
-        taps.append(ones_row)
+        if ones:
+            taps.append(ones_row)
         x9 = jnp.concatenate(taps, axis=0)
         acc = jnp.dot(kp, x9, preferred_element_type=jnp.float32)
         return post(acc) if post is not None else acc

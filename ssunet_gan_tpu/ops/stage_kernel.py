@@ -39,7 +39,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ssunet_gan_tpu.ops.acts import UpTensor, WTensor, materialize_up
+from ssunet_gan_tpu.ops.acts import (
+    DownQTensor,
+    DownTensor,
+    UpTensor,
+    WTensor,
+    materialize_down,
+    materialize_up,
+)
 from ssunet_gan_tpu.ops.spade_kernel import (
     _carried_rows,
     _conv3_row_fn,
@@ -55,10 +62,13 @@ from ssunet_gan_tpu.ops.spade_kernel import (
 
 def _wminor_views(parts):
     """(N, H, C, W) views of a part list (WTensor parts are already there;
-    an UpTensor yields its HALF-H payload — the caller must carry the up
-    flag; plain NHWC arrays get the boundary swap)."""
+    an UpTensor yields its HALF-H payload, a DownTensor its FULL-res
+    payload — the caller must carry the up/down flags; plain NHWC arrays
+    get the boundary swap)."""
     return [
-        p.v if isinstance(p, (WTensor, UpTensor)) else jnp.swapaxes(p, 2, 3)
+        p.v if isinstance(p, (WTensor, UpTensor, DownTensor))
+        else p.q if isinstance(p, DownQTensor)
+        else jnp.swapaxes(p, 2, 3)
         for p in parts
     ]
 
@@ -142,6 +152,105 @@ def seg_stack_enabled(int8: bool = False) -> bool:
 def set_pack_max_planes(planes: int) -> None:
     global _PACK_MAX_PLANES
     _PACK_MAX_PLANES = int(planes)
+
+
+# Pair dots (r5): the C ≤ 64 stages' per-row conv1/conv2 dots occupy only
+# C of the MXU's 128 M-rows — the level-0 stages (the model's largest
+# FLOP slab) run at ≤50% M-occupancy. Stacking TWO adjacent output rows
+# per dot with a 2-row-block lhs (row block j contracts window rows
+# j..j+2 — the taps of adjacent rows overlap, so the rhs is 12 taps per
+# pair instead of 2×9) fills M = 2C = 128. The bias leaves the
+# contraction (its +1 column pushed K=9·ΣCp over a 128 multiple at the
+# busiest signatures) and rides as a pre-broadcast (2C, W) tile added to
+# the f32 accumulator — Mosaic rejects (f,1) broadcasts, full-width
+# operand tiles are the sanctioned form (CLAUDE.md r2 finding).
+# MXU tile passes per output row at the level-0 decoder signature
+# (C=64, ΣCp=128, W=512): conv1 40 → 12, conv2 24 → 8.
+_PAIR_DOTS: Optional[bool] = None
+
+
+def set_pair_dots(enabled: Optional[bool]) -> None:
+    global _PAIR_DOTS
+    _PAIR_DOTS = enabled
+
+
+def pair_dots_enabled(c: int) -> bool:
+    """Pair-stacked conv1/conv2 dots for this stage width? Requires
+    2C ≤ 128 (the pair fills the MXU's M rows) and excludes halo-carry
+    (per-row by construction). Auto (None) = OFF: MEASURED NEGATIVE on the
+    flagship (bf16-fused 245.8 → 235.4 tiles/s, r5 A/B) — the M axis
+    STREAMS through the systolic array, so the per-row C-high dots waste
+    no M, and the pair's 4-row tap window costs +33% real K work. Ships
+    as a tested opt-in (set_pair_dots(True))."""
+    if _PAIR_DOTS is None or _PAIR_DOTS is False:
+        return False
+    return 2 * c <= 128 and not halo_carry_enabled()
+
+
+# Bias-tile mode: drop the +1 bias ones-column from the conv1/conv2
+# contractions and add the bias as a pre-broadcast (C, W) tile on the f32
+# accumulator instead. At the flagship's decoder signatures 9·ΣCp is an
+# EXACT multiple of 128 (1152/2304/4608), so the ones-column costs a whole
+# extra K-tile MXU pass per row — 10/9 on conv0_1's conv1, 19/18 on
+# conv1_1's, 12/11 and 23/22 on their conv2 dots. (The int8 kernel never
+# had the column — its biases ride the dequant vectors — which is part of
+# its efficiency edge.) Default ON.
+_BIAS_TILE: Optional[bool] = None
+
+
+def set_bias_tile(enabled: Optional[bool]) -> None:
+    global _BIAS_TILE
+    _BIAS_TILE = enabled
+
+
+def bias_tile_enabled() -> bool:
+    return True if _BIAS_TILE is None else bool(_BIAS_TILE)
+
+
+def _pair_lhs_conv3(kp: jax.Array, cp9: Sequence[int]) -> jax.Array:
+    """Per-row packed 3×3 lhs → 2-row-block pair lhs.
+
+    ``kp``: (C, Σ9·Cp) parts-major (dy, dx, ci)-column packing (NO bias
+    column). Returns (2C, Σ12·Cp): per part, row block j's (dy, dx, ci)
+    weight lands at window-row m = j + dy — the rhs is the part's 4-row
+    window, m-major (dx, ci)-minor."""
+    c = kp.shape[0]
+    blocks = []
+    off = 0
+    for n9 in cp9:
+        k = kp[:, off : off + n9].reshape(c, 3, n9 // 3)
+        z = jnp.zeros((c, 1, n9 // 3), kp.dtype)
+        top = jnp.concatenate([k, z], axis=1).reshape(c, n9 // 3 * 4)
+        bot = jnp.concatenate([z, k], axis=1).reshape(c, n9 // 3 * 4)
+        blocks.append(jnp.concatenate([top, bot], axis=0))
+        off += n9
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _pair_lhs_rows(ks_parts: Sequence[jax.Array]) -> jax.Array:
+    """Shortcut (1×1) columns of the pair lhs: row block j contracts the
+    j-th of the 2 stacked x rows. (C, Cp) per part → (2C, 2·Cp)."""
+    blocks = []
+    for ksp in ks_parts:
+        c, cp = ksp.shape
+        z = jnp.zeros((c, cp), ksp.dtype)
+        blocks.append(
+            jnp.concatenate(
+                [
+                    jnp.concatenate([ksp, z], axis=1),
+                    jnp.concatenate([z, ksp], axis=1),
+                ],
+                axis=0,
+            )
+        )
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _pair_bias_tile(b: jax.Array, w: int, dtype) -> jax.Array:
+    """(C,) bias → (2C, W) pre-broadcast tile in the activation dtype (the
+    ones-column path's numerics: bias quantized to dtype, added in f32)."""
+    b2 = jnp.concatenate([b, b]).astype(dtype)
+    return jnp.broadcast_to(b2[:, None], (b2.shape[0], w))
 
 
 # Halo carry (see spade_kernel._carried_rows): the eval kernels' per-band
@@ -466,10 +575,16 @@ def resolve_band_th(
     wp = w * f
     sub_w = w if f > 1 else 0
     up = tuple(isinstance(p, UpTensor) for p in parts)
+    down = tuple(isinstance(p, (DownTensor, DownQTensor)) for p in parts)
     key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out,
            dtype.name, seg_stack_enabled(int8), int8, _BAND_ROWS,
-           halo_carry_enabled(), lookahead_enabled(), up, _VMEM_LIMIT)
-    if not _TH_CACHE_LOADED:
+           halo_carry_enabled(), lookahead_enabled(), up, _VMEM_LIMIT,
+           pair_dots_enabled(planes), down, bias_tile_enabled())
+    if not _TH_CACHE_LOADED and not _interpret():
+        # interpret-mode (CPU) programs must not inherit real-hardware
+        # probe verdicts: a TPU-resolved None/th would silently change
+        # which code path the CPU suite exercises (stores are already
+        # gated on _interpret in _th_cache_store)
         _th_cache_load()
     if key in _TH_CACHE:
         return _TH_CACHE[key]
@@ -480,7 +595,9 @@ def resolve_band_th(
         if (
             planes <= 256
             and th <= 32
-            and not any(up)  # upsample-on-read programs are never trusted
+            # upsample/pool-on-read programs are never trusted
+            and not any(up)
+            and not any(down)
             and _vmem_estimate(h, wp, planes, part_ch, dtype.itemsize, th,
                                int8)
             < _TRUST_BYTES
@@ -494,12 +611,12 @@ def resolve_band_th(
 
             ok = _probe_compile_int8(
                 h, wp, part_ch, planes, label_nc, nhidden, num_out,
-                dtype, sub_w, th=th, up=up,
+                dtype, sub_w, th=th, up=up, down=down,
             )
         else:
             ok = _probe_compile(
                 h, wp, part_ch, planes, label_nc, nhidden, num_out, dtype,
-                sub_w, th=th, up=up,
+                sub_w, th=th, up=up, down=down,
             )
         if ok:
             resolved = th
@@ -531,12 +648,13 @@ def fused_stage_probe_ok(
 
 
 def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
-                   th=8, up=()) -> bool:
+                   th=8, up=(), down=()) -> bool:
     if _interpret():
         return True  # no Mosaic/VMEM on the interpreter path
     s = jax.ShapeDtypeStruct
     csum = sum(part_ch)
     up = tuple(up) if up else (False,) * len(part_ch)
+    down = tuple(down) if down else (False,) * len(part_ch)
     # batch 2, not 1: a multi-image grid forces the same cross-block
     # double-buffering schedule the real model call gets (r3: an n=1 probe
     # under-scheduled and passed where the in-model kernel OOMed)
@@ -544,12 +662,38 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
     k1s_shape = (
         (seg_r * 8, 3 * (seg_r + 2) * c + 1) if seg_r else (lab, 9 * c + 1)
     )
-    args = (
-        [s((2, h // 2 if up[pi] else h, cp, w), dtype)
-         for pi, cp in enumerate(part_ch)]
-        + [
+    pair = pair_dots_enabled(c)
+    btile = pair or bias_tile_enabled()
+    if pair:
+        conv_shapes = [
+            s((2 * c, 12 * csum), dtype),          # K1 pair lhs
+            s((2 * c, w), dtype),                  # B1 tile
+            s((2 * c, 12 * c + 2 * csum), dtype),  # K2+shortcut pair lhs
+            s((2 * c, w), dtype),                  # B2 tile
+        ]
+    elif btile:
+        conv_shapes = [
+            s((c, 9 * csum), dtype),           # K1cat (no bias column)
+            s((c, w), dtype),                  # B1 tile
+            s((c, 9 * c + csum), dtype),       # K2SC (no bias column)
+            s((c, w), dtype),                  # B2 tile
+        ]
+    else:
+        conv_shapes = [
             s((c, 9 * csum + 1), dtype),       # K1cat
             s((c, 9 * c + csum + 1), dtype),   # K2SC
+        ]
+    def part_shape(pi, cp):
+        if up[pi]:
+            return s((2, h // 2, cp, w), dtype)
+        if down[pi]:
+            return s((2, 2 * h, cp, 2 * w), dtype)
+        return s((2, h, cp, w), dtype)
+
+    args = (
+        [part_shape(pi, cp) for pi, cp in enumerate(part_ch)]
+        + conv_shapes
+        + [
             s(k1s_shape, dtype),               # K1s (per-row or seg-stacked)
             s((nh, 9 * lab + 1), dtype),       # K2s
             s((2 * c, 9 * nh + 1), dtype),     # K3s
@@ -559,11 +703,19 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
 
     def fn(*arrs):
         pv = list(arrs[: len(part_ch)])
-        k1, k2sc, k1s, k2s, k3s = arrs[len(part_ch) : len(part_ch) + 5]
-        kf = arrs[len(part_ch) + 5] if num_out is not None else None
+        rest = arrs[len(part_ch) :]
+        if btile:
+            k1, b1, k2sc, b2, k1s, k2s, k3s = rest[:7]
+            kf = rest[7] if num_out is not None else None
+            pb = (b1, b2)
+        else:
+            k1, k2sc, k1s, k2s, k3s = rest[:5]
+            kf = rest[5] if num_out is not None else None
+            pb = None
         return _stage_call(pv, k1, k2sc, k1s, k2s, k3s, th, KF=kf, sub_w=sub_w,
                            vmem_limit=_VMEM_LIMIT - _PROBE_MARGIN,
-                           seg_r=seg_r, seg_lab=lab, up=up)
+                           seg_r=seg_r, seg_lab=lab, up=up, pair_b=pb,
+                           pair=pair, down=down)
 
     try:
         jax.jit(fn).lower(*args).compile()
@@ -584,7 +736,8 @@ def _probe_compile(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
 # ---------------------------------------------------------------------------
 
 
-def _upsample_on_read(scr, cur, lookr, i, th: int, h_img: int, dtype):
+def _upsample_on_read(scr, cur, lookr, i, th: int, h_img: int, dtype,
+                      L: int = 5):
     """Expand a HALF-H part's band window to full-res rows in VMEM.
 
     The part stores the 2×-bilinear upsample's half-res payload (W-interp
@@ -604,14 +757,14 @@ def _upsample_on_read(scr, cur, lookr, i, th: int, h_img: int, dtype):
     bit-for-bit (pinned in tests/test_stage_kernel.py)."""
     thh = th // 2
     hh = h_img // 2
-    xh_half = jnp.concatenate([scr[:], cur[:], lookr[0:5]], axis=0)
-    g0h = i * thh - 5
+    xh_half = jnp.concatenate([scr[:], cur[:], lookr[0:L]], axis=0)
+    g0h = i * thh - L
     xh_half = _zero_outside_image(xh_half, g0h, hh).astype(jnp.float32)
     rows = []
-    for t in range(th + 10):
-        lj = (t - 6) // 2 + 5            # static local index of j0
-        pf = i * th + (t - 5)            # absolute full-res row (traced)
-        j0g = i * thh + ((t - 6) // 2)   # absolute half row of lj (traced)
+    for t in range(th + 2 * L):
+        lj = (t - L - 1) // 2 + L        # static local index of j0
+        pf = i * th + (t - L)            # absolute full-res row (traced)
+        j0g = i * thh + ((t - L - 1) // 2)  # absolute half row of lj (traced)
         # exact-integer numerators over ONE correctly-rounded f32 division:
         # bit-identical to the f64-derived einsum weights after bf16
         # rounding (ops/acts.up_weights_exact verifies per size)
@@ -625,26 +778,68 @@ def _upsample_on_read(scr, cur, lookr, i, th: int, h_img: int, dtype):
         w1 = w1f.astype(dtype).astype(jnp.float32)
         rows.append(xh_half[lj] * w0 + xh_half[lj + 1] * w1)
     xh = jnp.stack(rows, axis=0).astype(dtype)
-    return _zero_outside_image(xh, i * th - 5, h_img)
+    return _zero_outside_image(xh, i * th - L, h_img)
+
+
+def _pool_on_read(scr, cur, lookr, sel, i, th: int, h_img: int, dtype):
+    """Expand a FULL-res part's band window to POOLED rows in VMEM.
+
+    The part stores the producer's full-res output (:class:`DownTensor`);
+    pooled band ``i`` needs pooled window rows [i·th−5, i·th+th+5), i.e.
+    full rows [2(i·th−5), 2(i·th+th+5)) — assembled from scratch(10) |
+    cur(2·th) | lookahead(10 of 16). Each pooled row is the 2×2 window max:
+    the H pair is two adjacent full rows (free), the W pair a 1-column
+    left-shift (the duplicated edge column is discarded by decimation —
+    even W keeps the last anchor at W−2), and the even-column decimation
+    rides ``sel`` (a one-hot (2W, W) matrix) as an exact MXU selection,
+    two pooled rows per dot so the lhs fills 2·Cp of the MXU's M rows.
+    Max association order and value semantics equal ops/wminor's
+    ``reshape6`` lowering (max(max(TL,TR), max(BL,BR)))."""
+    xf = jnp.concatenate([scr[:], cur[:], lookr[0:10]], axis=0)
+    rows = []
+    for t in range(th + 10):
+        top, bot = xf[2 * t], xf[2 * t + 1]
+        tr = jnp.concatenate([top[:, 1:], top[:, -1:]], axis=-1)
+        br = jnp.concatenate([bot[:, 1:], bot[:, -1:]], axis=-1)
+        rows.append(jnp.maximum(jnp.maximum(top, tr), jnp.maximum(bot, br)))
+    outs = []
+    for g in range((th + 10) // 2):
+        m2 = jnp.concatenate([rows[2 * g], rows[2 * g + 1]], axis=0)
+        d = jnp.dot(m2, sel[:], preferred_element_type=jnp.float32)
+        outs.append(d.astype(dtype))
+    cp = xf.shape[1]
+    mp = jnp.concatenate(outs, axis=0).reshape(th + 10, cp, sel.shape[1])
+    return _zero_outside_image(mp, i * th - 5, h_img)
 
 
 def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
                  has_final: bool, sub_w: int = 0, seg_r: int = 0,
                  seg_lab: int = 0, carry: bool = False, look: bool = False,
-                 up: Tuple[bool, ...] = ()):
+                 up: Tuple[bool, ...] = (), pair: bool = False,
+                 btile: bool = False, down: Tuple[bool, ...] = ()):
     up = tuple(up) if up else (False,) * n_parts
+    down = tuple(down) if down else (False,) * n_parts
 
     def kernel(*refs):
-        # operand order: [xcur_p ×P] [xlook_p ×P if look] K1cat, K2SC, K1s,
-        #                K2s, K3s, [KF], out, [scratch_p ×P],
-        #                [h1c, yc, [segc], actvc]
+        # operand order: [xcur_p ×P] [xlook_p ×P if look] K1cat, [B1 btile],
+        #                K2SC, [B2 btile], K1s, K2s, K3s, [KF], [SEL down],
+        #                out, [scratch_p ×P], [h1c, yc, [segc], actvc]
         nl = n_parts * (1 + int(look))
         xcur = refs[:n_parts]
         xlook = refs[n_parts:nl]
-        k1_ref, k2sc_ref, k1s_ref, k2s_ref, k3s_ref = refs[nl : nl + 5]
+        if btile:
+            k1_ref, b1_ref, k2sc_ref, b2_ref, k1s_ref, k2s_ref, k3s_ref = (
+                refs[nl : nl + 7]
+            )
+            nl += 2
+        else:
+            k1_ref, k2sc_ref, k1s_ref, k2s_ref, k3s_ref = refs[nl : nl + 5]
         kf_ref = refs[nl + 5] if has_final else None
-        o_ref = refs[nl + 5 + int(has_final)]
-        scratch = refs[nl + 6 + int(has_final) :]
+        nl += int(has_final)
+        sel_ref = refs[nl + 5] if any(down) else None
+        nl += int(any(down))
+        o_ref = refs[nl + 5]
+        scratch = refs[nl + 6 :]
         cscr = scratch[n_parts:]  # halo-carry refs (empty when carry=False)
 
         i = pl.program_id(1)
@@ -666,6 +861,14 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
                         )
                     )  # (th+10, Cp, W) — expanded from th/2+10 half rows
                     continue
+                if down[p]:
+                    xh_parts.append(
+                        _pool_on_read(
+                            scratch[p], cur[p], xlook[p], sel_ref, i, th,
+                            h_img, dtype,
+                        )
+                    )  # (th+10, Cp, W) — pooled from 2·th+20 full rows
+                    continue
                 if look:  # scratch(5) | cur(th) | lookahead(5)
                     xh = jnp.concatenate(
                         [scratch[p][:], cur[p], xlook[p][0:5]], axis=0
@@ -681,40 +884,97 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
             # downcast keeps the f32 accumulators out of the live set (the
             # tall-band VMEM high-water, see _conv3_rows). With halo carry
             # the top 8 rows come from the previous band's scratch.
+            # Pair mode (2C ≤ 128): TWO rows per dot — the 2-row-block lhs
+            # contracts the 4-row tap window (12 taps/pair vs 2×9), the
+            # bias rides as a pre-broadcast (2C, W) tile on the f32
+            # accumulator; fills the MXU's M rows the per-row C-high dot
+            # leaves half-idle (see the module note).
             first = i == 0 if look else i == 1
-            h1_row = _conv3_row_fn(xh_parts, k1_ref[:], dtype, sub_w,
-                                   post=lambda r: jax.nn.relu(r).astype(dtype))
-            if carry:
-                h1 = _carried_rows(h1_row, th + 8, 8, cscr[0], first,
-                                   g0 + 1, h_img)
+            b1t = b1_ref[:].astype(jnp.float32) if btile else None
+            if pair:
+
+                def h1_pair(g):
+                    taps = []
+                    for p in range(n_parts):
+                        for m in range(4):
+                            r = xh_parts[p][2 * g + m]
+                            for dx in range(3):
+                                taps.append(_shift_w(r, dx, sub_w))
+                    x12 = jnp.concatenate(taps, axis=0)  # (12·ΣCp, W)
+                    acc = jnp.dot(k1_ref[:], x12,
+                                  preferred_element_type=jnp.float32)
+                    return jax.nn.relu(acc + b1t).astype(dtype)  # (2C, W)
+
+                h1 = jnp.concatenate(
+                    [h1_pair(g) for g in range((th + 8) // 2)], axis=0
+                ).reshape(th + 8, c, w)
+                h1 = _zero_outside_image(h1, g0 + 1, h_img)
             else:
-                h1 = jnp.stack([h1_row(t) for t in range(th + 8)], axis=0)
-                h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
+                if btile:
+                    h1_row = _conv3_row_fn(
+                        xh_parts, k1_ref[:], dtype, sub_w,
+                        post=lambda r: jax.nn.relu(r + b1t).astype(dtype),
+                        ones=False)
+                else:
+                    h1_row = _conv3_row_fn(
+                        xh_parts, k1_ref[:], dtype, sub_w,
+                        post=lambda r: jax.nn.relu(r).astype(dtype))
+                if carry:
+                    h1 = _carried_rows(h1_row, th + 8, 8, cscr[0], first,
+                                       g0 + 1, h_img)
+                else:
+                    h1 = jnp.stack([h1_row(t) for t in range(th + 8)], axis=0)
+                    h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
 
             # conv2 + 1×1 shortcut + bn2 bias fused into ONE per-row dot:
             # row input = [9 taps of h1 | per-part x row | ones]
             ones_row = jnp.ones((1, w), dtype)
 
-            def y_row(t):
-                taps = []
-                for dy in range(3):
-                    r = h1[t + dy]
-                    for dx in range(3):
-                        taps.append(_shift_w(r, dx, sub_w))
-                for p in range(n_parts):
-                    taps.append(xh_parts[p][t + 2])
-                taps.append(ones_row)
-                x9 = jnp.concatenate(taps, axis=0)  # (9C + ΣCp + 1, W)
-                acc = jnp.dot(k2sc_ref[:], x9,
-                              preferred_element_type=jnp.float32)
-                return jax.nn.relu(acc).astype(dtype)
+            b2t = b2_ref[:].astype(jnp.float32) if btile else None
+            if pair:
 
-            if carry:
-                y = _carried_rows(y_row, th + 6, 6, cscr[1], first,
-                                  g0 + 2, h_img)
+                def y_pair(g):
+                    taps = []
+                    for m in range(4):
+                        r = h1[2 * g + m]
+                        for dx in range(3):
+                            taps.append(_shift_w(r, dx, sub_w))
+                    for p in range(n_parts):
+                        taps.append(xh_parts[p][2 * g + 2])
+                        taps.append(xh_parts[p][2 * g + 3])
+                    xp = jnp.concatenate(taps, axis=0)  # (12C + 2ΣCp, W)
+                    acc = jnp.dot(k2sc_ref[:], xp,
+                                  preferred_element_type=jnp.float32)
+                    return jax.nn.relu(acc + b2t).astype(dtype)  # (2C, W)
+
+                y = jnp.concatenate(
+                    [y_pair(g) for g in range((th + 6) // 2)], axis=0
+                ).reshape(th + 6, c, w)
+                y = _zero_outside_image(y, g0 + 2, h_img)
             else:
-                y = jnp.stack([y_row(t) for t in range(th + 6)], axis=0)
-                y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
+                def y_row(t):
+                    taps = []
+                    for dy in range(3):
+                        r = h1[t + dy]
+                        for dx in range(3):
+                            taps.append(_shift_w(r, dx, sub_w))
+                    for p in range(n_parts):
+                        taps.append(xh_parts[p][t + 2])
+                    if not btile:
+                        taps.append(ones_row)
+                    x9 = jnp.concatenate(taps, axis=0)  # (9C + ΣCp [+1], W)
+                    acc = jnp.dot(k2sc_ref[:], x9,
+                                  preferred_element_type=jnp.float32)
+                    if btile:
+                        acc = acc + b2t
+                    return jax.nn.relu(acc).astype(dtype)
+
+                if carry:
+                    y = _carried_rows(y_row, th + 6, 6, cscr[1], first,
+                                      g0 + 2, h_img)
+                else:
+                    y = jnp.stack([y_row(t) for t in range(th + 6)], axis=0)
+                    y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
 
             tail_carry = None
             if carry:
@@ -742,7 +1002,10 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
             # lookahead view of block i+1
             _compute()
             for p in range(n_parts):
-                scratch[p][:] = cur[p][(th // 2 if up[p] else th) - 5 :]
+                if down[p]:
+                    scratch[p][:] = cur[p][2 * th - 10 :]
+                else:
+                    scratch[p][:] = cur[p][(th // 2 if up[p] else th) - 5 :]
         else:
             pl.when(i > 0)(_compute)
 
@@ -766,7 +1029,10 @@ def _make_kernel(n_parts: int, th: int, c: int, w: int, part_ch, h_img: int,
 def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
                 sub_w: int = 0, vmem_limit: Optional[int] = None,
                 seg_r: int = 0, seg_lab: int = 0,
-                up: Optional[Tuple[bool, ...]] = None):
+                up: Optional[Tuple[bool, ...]] = None,
+                pair_b: Optional[Tuple[jax.Array, jax.Array]] = None,
+                pair: bool = False,
+                down: Optional[Tuple[bool, ...]] = None):
     """parts_v: list of (N, H, Cp, W) views; returns (N, H, C_out, W)
     where C_out is the stage width, or the final head's class count when
     ``KF`` folds the model's last 1×1 conv in.
@@ -777,33 +1043,52 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
     structure at th/2 granularity (band-to-band stride th maps exactly to
     th/2 half-rows, so the in-band source indices are static), and the
     full-res tensor never exists in HBM. Requires the lookahead grid and
-    th % 16 == 0 (the half bands must stay 8-row-aligned)."""
+    th % 16 == 0 (the half bands must stay 8-row-aligned).
+
+    ``pair_b`` = (B1, B2) pre-broadcast bias tiles moves the conv biases
+    out of the contractions (bias-tile mode, K = exactly 9·ΣCp — see
+    :func:`bias_tile_enabled`); ``K1cat``/``K2SC`` must then have no bias
+    column. With ``pair=True`` additionally two rows per dot: the tiles
+    are (2C, W) and the lhs the ``_pair_lhs_conv3``/``_pair_lhs_rows``
+    2-row-block packings (see :func:`pair_dots_enabled`).
+
+    ``down[p]`` marks a FULL-res part (a :class:`DownTensor` payload,
+    (N, 2H, Cp, 2W)) whose pending 2×2 max-pool runs on read: bands of
+    2·th full rows pair-max in VMEM (H pair free, W pair via a 1-column
+    shift) and decimate even columns through a one-hot MXU dot — the
+    pooled tensor never exists in HBM. Requires the lookahead grid."""
     n = parts_v[0].shape[0]
-    w = parts_v[0].shape[3]
     up = tuple(bool(u) for u in (up or (False,) * len(parts_v)))
-    # logical image height: up parts store H/2 rows
-    h = parts_v[0].shape[1] * (2 if up[0] else 1)
-    c = K2SC.shape[0]
+    down = tuple(bool(u) for u in (down or (False,) * len(parts_v)))
+    # logical (pooled-space) image dims: up parts store H/2 rows, down
+    # parts store 2H rows and 2W columns
+    w = parts_v[0].shape[3] // (2 if down[0] else 1)
+    h = parts_v[0].shape[1] * (2 if up[0] else 1) // (2 if down[0] else 1)
+    # pair mode: the conv lhs matrices are 2-row blocks (2C rows)
+    c = K2SC.shape[0] // (2 if pair else 1)
     n_parts = len(parts_v)
     part_ch = tuple(p.shape[2] for p in parts_v)
     nh = h // th
     look = lookahead_enabled()
     assert not any(up) or (look and th % 16 == 0), (up, look, th)
+    assert not any(down) or look, (down, look)
+    assert not (any(down) and sub_w), "lane packing excludes pool-on-read"
     grid = (n, nh) if look else (n, nh + 1)
     dtype = parts_v[0].dtype
     c_out = c if KF is None else KF.shape[0]
     carry = halo_carry_enabled()
 
     def cur_spec(p):
-        tb = th // 2 if up[p] else th
+        tb = 2 * th if down[p] else th // 2 if up[p] else th
+        wb = 2 * w if down[p] else w
         if look:
             return pl.BlockSpec(
-                (None, tb, part_ch[p], w),
+                (None, tb, part_ch[p], wb),
                 lambda ni, hi: (ni, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            (None, tb, part_ch[p], w),
+            (None, tb, part_ch[p], wb),
             lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -811,13 +1096,16 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
     def look_spec(p):
         # 8-row window at the next band's first rows ((hi+1)·tb; tb % 8 ==
         # 0 so the block index is exact), clamped into the image for the
-        # last band — those rows are ≥ h and masked in-kernel
-        tb = th // 2 if up[p] else th
-        hp = h // 2 if up[p] else h
+        # last band — those rows are ≥ h and masked in-kernel. Down parts
+        # need 10 full-res rows of lookahead → a 16-row window.
+        tb = 2 * th if down[p] else th // 2 if up[p] else th
+        hp = 2 * h if down[p] else h // 2 if up[p] else h
+        wb = 2 * w if down[p] else w
+        lb = 16 if down[p] else 8
         return pl.BlockSpec(
-            (None, 8, part_ch[p], w),
-            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (tb // 8), hp // 8 - 1),
-                            0, 0),
+            (None, lb, part_ch[p], wb),
+            lambda ni, hi, tb=tb, hp=hp, lb=lb: (
+                ni, jnp.minimum((hi + 1) * (tb // lb), hp // lb - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -826,7 +1114,11 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
     )
 
     scratch = [
-        pltpu.VMEM((5 if look else th + 5, part_ch[p], w), dtype)
+        pltpu.VMEM(
+            (10, part_ch[p], 2 * w) if down[p]
+            else (5 if look else th + 5, part_ch[p], w),
+            dtype,
+        )
         for p in range(n_parts)
     ]
     if carry:
@@ -839,10 +1131,23 @@ def _stage_call(parts_v, K1cat, K2SC, K1s, K2s, K3s, th: int, KF=None,
             scratch += [pltpu.VMEM((4, lab, w), dtype)]  # seg carry
         scratch += [pltpu.VMEM((2, K2s.shape[0], w), dtype)]  # actv carry
 
-    weights = [K1cat, K2SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
+    if pair_b is not None:
+        weights = [K1cat, pair_b[0], K2SC, pair_b[1], K1s, K2s, K3s]
+    else:
+        weights = [K1cat, K2SC, K1s, K2s, K3s]
+    weights += [] if KF is None else [KF]
+    if any(down):
+        # even-column decimation matrix for pool-on-read (one-hot rows —
+        # the dot is an exact selection in any dtype used here)
+        import numpy as _np
+
+        sel = _np.zeros((2 * w, w), _np.float32)
+        sel[_np.arange(0, 2 * w, 2), _np.arange(w)] = 1.0
+        weights += [jnp.asarray(sel, dtype)]
     return pl.pallas_call(
         _make_kernel(n_parts, th, c, w, part_ch, h, KF is not None, sub_w,
-                     seg_r, seg_lab, carry=carry, look=look, up=up),
+                     seg_r, seg_lab, carry=carry, look=look, up=up,
+                     pair=pair, btile=pair_b is not None, down=down),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
@@ -946,12 +1251,19 @@ def fused_eval_stage(
             [kf[0, 0].T, bf.reshape(kf.shape[-1], 1)], axis=1
         ).astype(dtype)  # (ncls, C+1)
 
-    up = tuple(isinstance(p, UpTensor) for p in parts)
-    parts_v = _wminor_views(parts)  # (N, H, Cp, W); up parts: (N, H/2, Cp, W)
-    # logical image dims come from the part list (UpTensor reports the
-    # full-res NHWC shape), not the possibly-half-H raw views
+    # logical image dims come from the part list (UpTensor/DownTensor
+    # report the logical NHWC shape), not the raw views
     n, h, w = parts[0].shape[0], parts[0].shape[1], parts[0].shape[2]
     f = _pack_factor(n, w)
+    if f > 1 and any(isinstance(p, DownTensor) for p in parts):
+        # lane packing (deep levels) excludes pool-on-read — materialize
+        parts = tuple(
+            materialize_down(p) if isinstance(p, DownTensor) else p
+            for p in parts
+        )
+    up = tuple(isinstance(p, UpTensor) for p in parts)
+    down = tuple(isinstance(p, DownTensor) for p in parts)
+    parts_v = _wminor_views(parts)  # (N, H, Cp, W); up parts: (N, H/2, Cp, W)
     sub_w = w if f > 1 else 0
     if f > 1:  # deep level: fill the lanes with f images side by side
         # (lane packing is W-axis-only, so half-H up parts pack unchanged)
@@ -963,9 +1275,42 @@ def fused_eval_stage(
     seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
     if seg_r:
         K1s = pack_seg_stacked(k1s, b1s, seg_r, dtype)
+    pair_b = None
+    pair = pair_dots_enabled(c)
+    wp = w * f
+    if pair:
+        # pair mode: 2-row-block conv lhs (no bias columns) + (2C, W)
+        # pre-broadcast bias tiles — see the module note at set_pair_dots
+        cp9 = [9 * p.shape[-1] for p in parts]
+        K1cat = _pair_lhs_conv3(
+            jnp.concatenate(k1_parts, axis=1).astype(dtype), cp9
+        )
+        K2SC = jnp.concatenate(
+            [
+                _pair_lhs_conv3(k2f.reshape(9 * c, c).T.astype(dtype), [9 * c]),
+                _pair_lhs_rows([kp.astype(dtype) for kp in ks_parts]),
+            ],
+            axis=1,
+        )
+        pair_b = (
+            _pair_bias_tile(t1, wp, dtype),
+            _pair_bias_tile(t2, wp, dtype),
+        )
+    elif bias_tile_enabled():
+        # bias-tile mode (default): per-row dots with K = exactly 9·ΣCp —
+        # the biases leave the contraction (see set_bias_tile)
+        K1cat = jnp.concatenate(k1_parts, axis=1).astype(dtype)
+        K2SC = jnp.concatenate(
+            [k2f.reshape(9 * c, c).T] + ks_parts, axis=1
+        ).astype(dtype)
+        pair_b = (
+            jnp.broadcast_to(t1.astype(dtype)[:, None], (c, wp)),
+            jnp.broadcast_to(t2.astype(dtype)[:, None], (c, wp)),
+        )
     outv = _stage_call(
         parts_v, K1cat, K2SC, K1s, K2s, K3s, th, KF=KF, sub_w=sub_w,
-        seg_r=seg_r, seg_lab=lab, up=up,
+        seg_r=seg_r, seg_lab=lab, up=up, pair_b=pair_b, pair=pair,
+        down=down,
     )
     if f > 1:
         outv = _unpack_lanes(outv, f)
@@ -985,8 +1330,9 @@ def fused_eval_stage(
 def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
                        h_img: int, has_final: bool, sub_w: int = 0,
                        seg_r: int = 0, seg_lab: int = 0, carry: bool = False,
-                       look: bool = False):
+                       look: bool = False, up: Tuple[bool, ...] = ()):
     L = 4
+    up = tuple(up) if up else (False,) * n_parts
 
     def kernel(*refs):
         # operand order: [xcur_p ×P] [xlook_p ×P if look] weights..., out,
@@ -1008,24 +1354,25 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
         def _compute():
             first = i == 0 if look else i == 1
             g0 = (i if look else i - 1) * th - L  # global row of xh row 0
-            if look:  # scratch(4) | cur(th) | lookahead(4)
-                xh_parts = [
-                    _zero_outside_image(
-                        jnp.concatenate(
-                            [scratch[p][:], cur[p], xlook[p][0:L]], axis=0
-                        ),
-                        g0, h_img,
-                    ).astype(dtype)
-                    for p in range(n_parts)
-                ]
-            else:  # scratch(th+4) | cur(4)
-                xh_parts = [
-                    _zero_outside_image(
-                        jnp.concatenate([scratch[p][:], cur[p][0:L]], axis=0),
-                        g0, h_img,
-                    ).astype(dtype)
-                    for p in range(n_parts)
-                ]
+            xh_parts = []
+            for p in range(n_parts):
+                if up[p]:
+                    # half-res UpTensor part: 2× H-interp on read (same
+                    # lerp machinery as the basic kernel, halo L=4)
+                    xh_parts.append(
+                        _upsample_on_read(scratch[p], cur[p], xlook[p], i,
+                                          th, h_img, dtype, L=L)
+                    )
+                    continue
+                if look:  # scratch(4) | cur(th) | lookahead(4)
+                    xh = jnp.concatenate(
+                        [scratch[p][:], cur[p], xlook[p][0:L]], axis=0
+                    )
+                else:  # scratch(th+4) | cur(4)
+                    xh = jnp.concatenate([scratch[p][:], cur[p][0:L]], axis=0)
+                xh_parts.append(
+                    _zero_outside_image(xh, g0, h_img).astype(dtype)
+                )
             ones_row = jnp.ones((1, w), dtype)
 
             # conv1 (1×1) + bn1 + relu, per-row dot over [x parts | 1];
@@ -1100,7 +1447,7 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
             # lookahead view of block i+1
             _compute()
             for p in range(n_parts):
-                scratch[p][:] = cur[p][th - L :]
+                scratch[p][:] = cur[p][(th // 2 if up[p] else th) - L :]
         else:
             pl.when(i > 0)(_compute)
 
@@ -1120,24 +1467,132 @@ def _make_bneck_kernel(n_parts: int, th: int, c: int, w: int, part_ch,
     return kernel
 
 
-def fused_bneck_supported(parts: Sequence[jax.Array], planes: int) -> bool:
-    """Gate for the bottleneck stage kernel: the eval-size constraints plus
-    the conservative (trust-tier-only) VMEM bound — this variant has no
-    probe path, so only the measured-safe region fuses (lane-packed deep
-    levels included, at the packed width)."""
+def _bneck_trust_est(h, wp, planes, part_ch, itemsize, th: int = 8) -> int:
+    """Byte-sum estimate for the bneck program (the r3-calibrated basic
+    estimate + the h1 slab this variant keeps live + the packed weights)."""
+    est = _vmem_estimate(h, wp, planes, part_ch, itemsize, th)
+    est += (8 + 8) * planes * wp * itemsize
+    csum = sum(part_ch)
+    est += (planes * (9 * csum + 9 * planes + planes + csum + 2)) * itemsize
+    return est
+
+
+_TH_CANDIDATES_BNECK = (32, 16, 8)
+
+
+def resolve_band_th_bneck(
+    parts: Sequence[jax.Array],
+    planes: int,
+    label_nc: int,
+    nhidden: int,
+    num_out: Optional[int] = None,
+) -> Optional[int]:
+    """Band height for the bneck kernel (r5: was fixed th=8): candidates
+    largest-first; th=8 with no lazy parts takes the r3-calibrated trust
+    estimate (the old gate's behaviour), taller bands and upsample-on-read
+    programs probe-compile once per signature (cached + persisted)."""
+    h, w = parts[0].shape[1], parts[0].shape[2]
+    part_ch = tuple(p.shape[-1] for p in parts)
+    dtype = jnp.dtype(parts[0].dtype)
+    f = _pack_factor(parts[0].shape[0], w)
+    wp = w * f
+    sub_w = w if f > 1 else 0
+    up = tuple(isinstance(p, UpTensor) for p in parts)
+    look = lookahead_enabled() and h % 8 == 0
+    key = ("bneck", h, wp, sub_w, part_ch, planes, label_nc, nhidden,
+           num_out, dtype.name, seg_stack_enabled(), _BAND_ROWS,
+           halo_carry_enabled(), look, up, _VMEM_LIMIT)
+    if not _TH_CACHE_LOADED and not _interpret():
+        _th_cache_load()
+    if key in _TH_CACHE:
+        return _TH_CACHE[key]
+    resolved = None
+    cands = (_BAND_ROWS,) if _BAND_ROWS else _TH_CANDIDATES_BNECK
+    for th in cands:
+        if h % th or (not look and th != 8):
+            continue  # the prologue grid keeps the r3 shape (th=8 only)
+        if any(up) and th % 16 != 0:
+            continue  # half bands must stay 8-row-aligned
+        if (
+            th == 8
+            and not any(up)
+            and _bneck_trust_est(h, wp, planes, part_ch, dtype.itemsize, th)
+            < _TRUST_BYTES
+        ):
+            resolved = th
+            break
+        if _probe_compile_bneck(h, wp, part_ch, planes, label_nc, nhidden,
+                                num_out, dtype, sub_w, th=th, up=up):
+            resolved = th
+            break
+    _TH_CACHE[key] = resolved
+    if not _interpret():
+        _th_cache_store(key, resolved)
+    return resolved
+
+
+def _probe_compile_bneck(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
+                         th=8, up=()) -> bool:
+    if _interpret():
+        return True
+    s = jax.ShapeDtypeStruct
+    csum = sum(part_ch)
+    up = tuple(up) if up else (False,) * len(part_ch)
+    seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
+    k1s_shape = (
+        (seg_r * 8, 3 * (seg_r + 2) * c + 1) if seg_r else (lab, 9 * c + 1)
+    )
+    args = (
+        [s((2, h // 2 if up[pi] else h, cp, w), dtype)
+         for pi, cp in enumerate(part_ch)]
+        + [
+            s((c, csum + 1), dtype),        # K1B
+            s((c, 9 * c + 1), dtype),       # K2B
+            s((c, c + csum + 1), dtype),    # K3SC
+            s(k1s_shape, dtype),            # K1s
+            s((nh, 9 * lab + 1), dtype),    # K2s
+            s((2 * c, 9 * nh + 1), dtype),  # K3s
+        ]
+        + ([] if num_out is None else [s((num_out, c + 1), dtype)])
+    )
+
+    def fn(*arrs):
+        pv = list(arrs[: len(part_ch)])
+        k1b, k2b, k3sc, k1s, k2s, k3s = arrs[len(part_ch) : len(part_ch) + 6]
+        kf = arrs[len(part_ch) + 6] if num_out is not None else None
+        return _bneck_call(pv, k1b, k2b, k3sc, k1s, k2s, k3s, th, KF=kf,
+                           sub_w=sub_w, seg_r=seg_r, seg_lab=lab, up=up,
+                           vmem_limit=_VMEM_LIMIT - _PROBE_MARGIN)
+
+    try:
+        jax.jit(fn).lower(*args).compile()
+        return True
+    except Exception as e:
+        import sys
+
+        print(
+            "fused-bneck probe failed for shape %s th=%d (%s); trying the "
+            "next band height" % ((h, w, part_ch, c), th, type(e).__name__),
+            file=sys.stderr,
+        )
+        return False
+
+
+def fused_bneck_supported(parts: Sequence[jax.Array], planes: int,
+                          label_nc: Optional[int] = None,
+                          nhidden: Optional[int] = None,
+                          num_out: Optional[int] = None) -> bool:
+    """Gate for the bottleneck stage kernel: eval-size constraints plus
+    (when ``label_nc`` is given) a resolvable band height — trusted th=8
+    or a probe-passed taller band (:func:`resolve_band_th_bneck`)."""
     if not fused_stage_supported(parts, planes, pack=True):
         return False
-    h, w = parts[0].shape[1], parts[0].shape[2]
-    wp = w * _pack_factor(parts[0].shape[0], w)
-    part_ch = [p.shape[-1] for p in parts]
-    est = _vmem_estimate(h, wp, planes, part_ch, parts[0].dtype.itemsize)
-    # + the h1 slab this variant keeps live, + the packed weight operands
-    # (which dominate at the deep widths the byte-sum wasn't calibrated for)
-    est += (8 + 8) * planes * wp * parts[0].dtype.itemsize
-    csum = sum(part_ch)
-    est += (planes * (9 * csum + 9 * planes + planes + csum + 2)) \
-        * parts[0].dtype.itemsize
-    return est < _TRUST_BYTES
+    if label_nc is None:
+        return True  # static pre-gate only
+    return (
+        resolve_band_th_bneck(parts, planes, label_nc, nhidden, num_out)
+        is not None
+    )
 
 
 def fused_eval_stage_bneck(
@@ -1203,29 +1658,66 @@ def fused_eval_stage_bneck(
             [kf[0, 0].T, bf.reshape(kf.shape[-1], 1)], axis=1
         ).astype(dtype)
 
-    parts_v = _wminor_views(parts)
-    n, h, _, w = parts_v[0].shape
+    # lane packing excludes lazy seams (deep levels only; materialize)
+    n, h, w = parts[0].shape[0], parts[0].shape[1], parts[0].shape[2]
     f = _pack_factor(n, w)
+    if f > 1 and any(isinstance(p, UpTensor) for p in parts):
+        parts = tuple(
+            materialize_up(p) if isinstance(p, UpTensor) else p for p in parts
+        )
+    up = tuple(isinstance(p, UpTensor) for p in parts)
+    parts_v = _wminor_views(parts)
     sub_w = w if f > 1 else 0
     if f > 1:
         parts_v = [_pack_lanes(pv, f) for pv in parts_v]
-        n, w = n // f, w * f
+    th = resolve_band_th_bneck(
+        parts, c, lab, nh, None if KF is None else KF.shape[0]
+    )
+    assert th is not None, "caller must gate with fused_bneck_supported"
+    seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
+    if seg_r:
+        K1s = pack_seg_stacked(k1s, b1s, seg_r, dtype)
+    outv = _bneck_call(parts_v, K1B, K2B, K3SC, K1s, K2s, K3s, th, KF=KF,
+                       sub_w=sub_w, seg_r=seg_r, seg_lab=lab, up=up)
+    if f > 1:
+        outv = _unpack_lanes(outv, f)
+    elif emit_wminor and KF is None:
+        return WTensor(outv)
+    return jnp.swapaxes(outv, 2, 3)
+
+
+def _bneck_call(parts_v, K1B, K2B, K3SC, K1s, K2s, K3s, th: int, KF=None,
+                sub_w: int = 0, seg_r: int = 0, seg_lab: int = 0,
+                up: Optional[Tuple[bool, ...]] = None,
+                vmem_limit: Optional[int] = None):
+    """parts_v: (N, H, Cp, W) views (``up[p]``: half-H UpTensor payloads
+    expanded on read, halo L=4); shared by the public entry and the probe
+    compiler — see :func:`_stage_call` for the structure."""
+    up = tuple(bool(u) for u in (up or (False,) * len(parts_v)))
+    n = parts_v[0].shape[0]
+    w = parts_v[0].shape[3]
+    h = parts_v[0].shape[1] * (2 if up[0] else 1)
+    c = K2B.shape[0]
+    lab = seg_lab if seg_r else K1s.shape[0]
+    nh = K2s.shape[0]
+    dtype = parts_v[0].dtype
     part_ch = tuple(p.shape[2] for p in parts_v)
-    th = 8
     L_BN = 4  # bneck halo rows (conv2 ring + 3 SPADE rings)
     nh_grid = h // th
     c_out = c if KF is None else KF.shape[0]
     look = lookahead_enabled() and h % 8 == 0
+    assert not any(up) or (look and th % 16 == 0), (up, look, th)
 
     def cur_spec(p):
+        tb = th // 2 if up[p] else th
         if look:
             return pl.BlockSpec(
-                (None, th, part_ch[p], w),
+                (None, tb, part_ch[p], w),
                 lambda ni, hi: (ni, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            (None, th, part_ch[p], w),
+            (None, tb, part_ch[p], w),
             lambda ni, hi: (ni, jnp.minimum(hi, nh_grid - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
@@ -1233,9 +1725,12 @@ def fused_eval_stage_bneck(
     def look_spec(p):
         # 8-row window at the next band's first rows, clamped into the image
         # for the last band — those rows are ≥ h and masked in-kernel
+        tb = th // 2 if up[p] else th
+        hp = h // 2 if up[p] else h
         return pl.BlockSpec(
             (None, 8, part_ch[p], w),
-            lambda ni, hi: (ni, jnp.minimum(hi + 1, nh_grid - 1), 0, 0),
+            lambda ni, hi, tb=tb, hp=hp: (
+                ni, jnp.minimum((hi + 1) * (tb // 8), hp // 8 - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -1243,13 +1738,10 @@ def fused_eval_stage_bneck(
         shape, lambda ni, hi: (0, 0), memory_space=pltpu.VMEM
     )
 
-    seg_r = pick_seg_r(th + 4) if seg_stack_enabled() else 0
-    if seg_r:
-        K1s = pack_seg_stacked(k1s, b1s, seg_r, dtype)
     carry = halo_carry_enabled()
     scratch = [
         pltpu.VMEM((L_BN if look else th + L_BN, part_ch[p], w), dtype)
-        for p in range(len(parts))
+        for p in range(len(parts_v))
     ]
     if carry:
         scratch += [
@@ -1261,13 +1753,13 @@ def fused_eval_stage_bneck(
             scratch += [pltpu.VMEM((4, lab, w), dtype)]  # seg carry
         scratch += [pltpu.VMEM((2, nh, w), dtype)]       # actv carry
     weights = [K1B, K2B, K3SC, K1s, K2s, K3s] + ([] if KF is None else [KF])
-    outv = pl.pallas_call(
-        _make_bneck_kernel(len(parts), th, c, w, part_ch, h, KF is not None,
-                           sub_w, seg_r, lab, carry=carry, look=look),
+    return pl.pallas_call(
+        _make_bneck_kernel(len(parts_v), th, c, w, part_ch, h, KF is not None,
+                           sub_w, seg_r, lab, carry=carry, look=look, up=up),
         grid=(n, nh_grid) if look else (n, nh_grid + 1),
         in_specs=(
-            [cur_spec(p) for p in range(len(parts))]
-            + ([look_spec(p) for p in range(len(parts))] if look else [])
+            [cur_spec(p) for p in range(len(parts_v))]
+            + ([look_spec(p) for p in range(len(parts_v))] if look else [])
             + [const(wt.shape) for wt in weights]
         ),
         out_specs=pl.BlockSpec(
@@ -1278,11 +1770,8 @@ def fused_eval_stage_bneck(
         ),
         out_shape=jax.ShapeDtypeStruct((n, h, c_out, w), dtype),
         scratch_shapes=scratch,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit or _VMEM_LIMIT
+        ),
         interpret=_interpret(),
     )(*((list(parts_v) + list(parts_v)) if look else parts_v), *weights)
-    if f > 1:
-        outv = _unpack_lanes(outv, f)
-    elif emit_wminor and KF is None:
-        return WTensor(outv)
-    return jnp.swapaxes(outv, 2, 3)

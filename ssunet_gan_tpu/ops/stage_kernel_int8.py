@@ -143,18 +143,24 @@ def record_sink() -> Optional[dict]:
     return _RECORD_SINK
 
 
+def record_range(key: str, amax) -> None:
+    """Record-mode hook: write one abs-max tracer into the active sink,
+    maxing over previous writes (several model applications in one trace
+    accumulate)."""
+    if _RECORD_SINK is None:
+        return
+    _RECORD_SINK[key] = (
+        amax if key not in _RECORD_SINK else jnp.maximum(_RECORD_SINK[key], amax)
+    )
+
+
 def record_stage_inputs(key: str, parts) -> None:
     """Record-mode hook (model dispatch): write each stage input's abs-max
-    tracer into the active sink, maxing over previous writes (several model
-    applications in one trace accumulate)."""
+    tracer into the active sink."""
     if _RECORD_SINK is None:
         return
     for i, p in enumerate(parts):
-        m = jnp.max(jnp.abs(p.astype(jnp.float32)))
-        k = f"{key}:{i}"
-        _RECORD_SINK[k] = (
-            m if k not in _RECORD_SINK else jnp.maximum(_RECORD_SINK[k], m)
-        )
+        record_range(f"{key}:{i}", jnp.max(jnp.abs(p.astype(jnp.float32))))
 
 
 def _rowscale(acc_f32: jax.Array, d: jax.Array) -> jax.Array:
@@ -351,11 +357,38 @@ def _upsample_on_read_s8(scr, cur, lookr, i, th: int, h_img: int):
     return _zero_outside_image(xh, i * th - 5, h_img)
 
 
+def _pool_on_read_s8(scr, cur, lookr, sel, i, th: int, h_img: int):
+    """s8 variant of ``ops.stage_kernel._pool_on_read``: pool a FULL-res
+    quantized part's band window to POOLED s8 rows in VMEM. Max-pooling
+    commutes with symmetric quantization (s8 compares are the dequantized
+    compares), and the one-hot decimation dot is exact in s32 — bit-exact
+    vs pooling the materialized s8 tensor."""
+    xf = jnp.concatenate([scr[:], cur[:], lookr[0:10]], axis=0)
+    rows = []
+    for t in range(th + 10):
+        top, bot = xf[2 * t], xf[2 * t + 1]
+        tr = jnp.concatenate([top[:, 1:], top[:, -1:]], axis=-1)
+        br = jnp.concatenate([bot[:, 1:], bot[:, -1:]], axis=-1)
+        rows.append(jnp.maximum(jnp.maximum(top, tr), jnp.maximum(bot, br)))
+    outs = []
+    for g in range((th + 10) // 2):
+        m2 = jnp.concatenate([rows[2 * g], rows[2 * g + 1]], axis=0)
+        d = jax.lax.dot_general(
+            m2, sel[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        outs.append(d.astype(jnp.int8))
+    cp = xf.shape[1]
+    mp = jnp.concatenate(outs, axis=0).reshape(th + 10, cp, sel.shape[1])
+    return _zero_outside_image(mp, i * th - 5, h_img)
+
+
 def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                       h_img: int, has_final: bool, dtype, sub_w: int = 0,
                       out_inv_scale: Optional[float] = None,
                       seg_r: int = 0, seg_lab: int = 0, carry: bool = False,
-                      look: bool = False, up: Tuple[bool, ...] = ()):
+                      look: bool = False, up: Tuple[bool, ...] = (),
+                      pair: bool = False, down: Tuple[bool, ...] = ()):
     """``out_inv_scale`` (a compile-time constant, = 127/abs_max from the
     static calibration) switches the epilogue to emit s8 directly: the
     SPADE-modulated stage output is quantized in-kernel, so the HBM write,
@@ -372,10 +405,11 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
     """
     csum = sum(part_ch)
     up = tuple(up) if up else (False,) * n_parts
+    down = tuple(down) if down else (False,) * n_parts
 
     def kernel(*refs):
         # operands: [qx_p ×P], [qlook_p ×P if look], Wq1, Wq2, Wqs,
-        #           DQ (4,C) f32, K1s, K2s, K3s, [KF], out,
+        #           DQ (4,C) f32, K1s, K2s, K3s, [KF], [SEL down], out,
         #           [scratch_p ×P], [h1c, yc, [segc], actvc]
         nl = n_parts * (1 + int(look))
         qx = refs[:n_parts]
@@ -383,8 +417,11 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
         wq1_ref, wq2_ref, wqs_ref, dq_ref = refs[nl : nl + 4]
         k1s_ref, k2s_ref, k3s_ref = refs[nl + 4 : nl + 7]
         kf_ref = refs[nl + 7] if has_final else None
-        o_ref = refs[nl + 7 + int(has_final)]
-        scratch = refs[nl + 8 + int(has_final) :]
+        nl += int(has_final)
+        sel_ref = refs[nl + 7] if any(down) else None
+        nl += int(any(down))
+        o_ref = refs[nl + 7]
+        scratch = refs[nl + 8 :]
         cscr = scratch[n_parts:]  # halo-carry refs (empty when carry=False)
 
         i = pl.program_id(1)
@@ -402,6 +439,14 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                         )
                     )  # (th+10, Cp, W) s8, expanded from th/2+10 half rows
                     continue
+                if down[p]:
+                    xh_parts.append(
+                        _pool_on_read_s8(
+                            scratch[p], cur[p], qlook[p], sel_ref, i, th,
+                            h_img,
+                        )
+                    )  # (th+10, Cp, W) s8, pooled from 2·th+20 full rows
+                    continue
                 if look:  # scratch(5) | cur(th) | lookahead(5)
                     xh = jnp.concatenate(
                         [scratch[p][:], cur[p], qlook[p][0:5]], axis=0
@@ -412,33 +457,59 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
                     _zero_outside_image(xh, g0, h_img)
                 )  # (th+10, Cp, W) int8 — zero-point 0 keeps pad exact
 
-            dq = dq_ref[:]  # (5, C, W) pre-tiled per-channel vectors
+            # pair mode (ops/stage_kernel.pair_dots_enabled): dq_ref is
+            # pre-tiled to (5, 2C, W) and the weight matrices are 2-row
+            # blocks — the per-row C-high s8 dots leave half the MXU's M
+            # rows idle at C = 64 exactly like the bf16 kernel's
+            dq = dq_ref[:]  # (5, C|2C, W) pre-tiled per-channel vectors
             d1, t1 = dq[0], dq[1]
 
-            # conv1 (int8 MXU) + per-channel dequant + bn1 bias + relu
-            def h1_row(t):
-                taps = []
-                for p in range(n_parts):
-                    for dy in range(3):
-                        r = xh_parts[p][t + dy]
-                        for dx in range(3):
-                            taps.append(_shift_w(r, dx, sub_w))
-                x9 = jnp.concatenate(taps, axis=0)  # (9·ΣCp, W) int8
-                acc = jax.lax.dot_general(
-                    wq1_ref[:], x9, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                # per-row downcast: no live f32 slab
-                return jax.nn.relu(
-                    _rowscale(acc.astype(jnp.float32), d1) + t1
-                ).astype(dtype)
+            if pair:
+                def h1_pair(g):
+                    taps = []
+                    for p in range(n_parts):
+                        for m in range(4):
+                            r = xh_parts[p][2 * g + m]
+                            for dx in range(3):
+                                taps.append(_shift_w(r, dx, sub_w))
+                    x12 = jnp.concatenate(taps, axis=0)  # (12·ΣCp, W) s8
+                    acc = jax.lax.dot_general(
+                        wq1_ref[:], x12, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    return jax.nn.relu(
+                        _rowscale(acc.astype(jnp.float32), d1) + t1
+                    ).astype(dtype)  # (2C, W)
 
-            if carry:
-                h1 = _carried_rows(h1_row, th + 8, 8, cscr[0], first,
-                                   g0 + 1, h_img)
+                h1 = jnp.concatenate(
+                    [h1_pair(g) for g in range((th + 8) // 2)], axis=0
+                ).reshape(th + 8, c, w)
+                h1 = _zero_outside_image(h1, g0 + 1, h_img)
             else:
-                h1 = jnp.stack([h1_row(t) for t in range(th + 8)], axis=0)
-                h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
+                # conv1 (int8 MXU) + per-channel dequant + bn1 bias + relu
+                def h1_row(t):
+                    taps = []
+                    for p in range(n_parts):
+                        for dy in range(3):
+                            r = xh_parts[p][t + dy]
+                            for dx in range(3):
+                                taps.append(_shift_w(r, dx, sub_w))
+                    x9 = jnp.concatenate(taps, axis=0)  # (9·ΣCp, W) int8
+                    acc = jax.lax.dot_general(
+                        wq1_ref[:], x9, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    # per-row downcast: no live f32 slab
+                    return jax.nn.relu(
+                        _rowscale(acc.astype(jnp.float32), d1) + t1
+                    ).astype(dtype)
+
+                if carry:
+                    h1 = _carried_rows(h1_row, th + 8, 8, cscr[0], first,
+                                       g0 + 1, h_img)
+                else:
+                    h1 = jnp.stack([h1_row(t) for t in range(th + 8)], axis=0)
+                    h1 = _zero_outside_image(h1, g0 + 1, h_img)  # (th+8, C, W)
 
             # per-band requantization of h1 (slab-local scale, see module doc)
             qh1, s_h1 = _quant_band(h1)
@@ -446,36 +517,71 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
             d2 = dq[2] * s_h1  # conv2 dequant folds the band scale
             ds, t2 = dq[3], dq[4]
 
-            def y_row(t):
-                taps = []
-                for dy in range(3):
-                    r = qh1[t + dy]
-                    for dx in range(3):
-                        taps.append(_shift_w(r, dx, sub_w))
-                h9 = jnp.concatenate(taps, axis=0)  # (9C, W) int8
-                acc2 = jax.lax.dot_general(
-                    wq2_ref[:], h9, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                xrow = jnp.concatenate(
-                    [xh_parts[p][t + 2] for p in range(n_parts)], axis=0
-                )  # (ΣCp, W) int8
-                accs = jax.lax.dot_general(
-                    wqs_ref[:], xrow, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.int32,
-                )
-                return jax.nn.relu(
-                    _rowscale(acc2.astype(jnp.float32), d2)
-                    + _rowscale(accs.astype(jnp.float32), ds)
-                    + t2
-                ).astype(dtype)
+            if pair:
+                def y_pair(g):
+                    taps = []
+                    for m in range(4):
+                        r = qh1[2 * g + m]
+                        for dx in range(3):
+                            taps.append(_shift_w(r, dx, sub_w))
+                    h12 = jnp.concatenate(taps, axis=0)  # (12C, W) s8
+                    acc2 = jax.lax.dot_general(
+                        wq2_ref[:], h12, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    xrows = jnp.concatenate(
+                        [
+                            xh_parts[p][2 * g + 2 + j]
+                            for p in range(n_parts)
+                            for j in range(2)
+                        ],
+                        axis=0,
+                    )  # (2·ΣCp, W) s8, part-major row-minor
+                    accs = jax.lax.dot_general(
+                        wqs_ref[:], xrows, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    return jax.nn.relu(
+                        _rowscale(acc2.astype(jnp.float32), d2)
+                        + _rowscale(accs.astype(jnp.float32), ds)
+                        + t2
+                    ).astype(dtype)  # (2C, W)
 
-            if carry:
-                y = _carried_rows(y_row, th + 6, 6, cscr[1], first,
-                                  g0 + 2, h_img)
+                y = jnp.concatenate(
+                    [y_pair(g) for g in range((th + 6) // 2)], axis=0
+                ).reshape(th + 6, c, w)
+                y = _zero_outside_image(y, g0 + 2, h_img)
             else:
-                y = jnp.stack([y_row(t) for t in range(th + 6)], axis=0)
-                y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
+                def y_row(t):
+                    taps = []
+                    for dy in range(3):
+                        r = qh1[t + dy]
+                        for dx in range(3):
+                            taps.append(_shift_w(r, dx, sub_w))
+                    h9 = jnp.concatenate(taps, axis=0)  # (9C, W) int8
+                    acc2 = jax.lax.dot_general(
+                        wq2_ref[:], h9, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    xrow = jnp.concatenate(
+                        [xh_parts[p][t + 2] for p in range(n_parts)], axis=0
+                    )  # (ΣCp, W) int8
+                    accs = jax.lax.dot_general(
+                        wqs_ref[:], xrow, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    return jax.nn.relu(
+                        _rowscale(acc2.astype(jnp.float32), d2)
+                        + _rowscale(accs.astype(jnp.float32), ds)
+                        + t2
+                    ).astype(dtype)
+
+                if carry:
+                    y = _carried_rows(y_row, th + 6, 6, cscr[1], first,
+                                      g0 + 2, h_img)
+                else:
+                    y = jnp.stack([y_row(t) for t in range(th + 6)], axis=0)
+                    y = _zero_outside_image(y, g0 + 2, h_img)  # (th+6, C, W)
 
             tail_carry = None
             if carry:
@@ -514,7 +620,10 @@ def _make_kernel_int8(n_parts: int, th: int, c: int, w: int, part_ch,
             # computes from (5-row scratch | block i | 8-row lookahead)
             _compute()
             for p in range(n_parts):
-                scratch[p][:] = cur[p][(th // 2 if up[p] else th) - 5 :]
+                if down[p]:
+                    scratch[p][:] = cur[p][2 * th - 10 :]
+                else:
+                    scratch[p][:] = cur[p][(th // 2 if up[p] else th) - 5 :]
         else:
             pl.when(i > 0)(_compute)
 
@@ -541,7 +650,9 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
                      out_inv_scale: Optional[float] = None,
                      seg_r: int = 0, seg_lab: int = 0,
                      vmem_limit: Optional[int] = None,
-                     up: Optional[Tuple[bool, ...]] = None):
+                     up: Optional[Tuple[bool, ...]] = None,
+                     pair: bool = False,
+                     down: Optional[Tuple[bool, ...]] = None):
     """parts_q: list of (N, H, Cp, W) int8 views; returns (N, H, C_out, W)
     in ``dtype`` (C_out = stage width, or classes when KF folds the head),
     or int8 when ``out_inv_scale`` is set (kernel-to-kernel int8 flow).
@@ -552,40 +663,47 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
     2-tap lerp per row (the half tensor's scale IS the part scale folded
     into the weights, so requant is a plain round+clip)."""
     up = tuple(bool(u) for u in (up or (False,) * len(parts_q)))
+    down = tuple(bool(u) for u in (down or (False,) * len(parts_q)))
     n = parts_q[0].shape[0]
-    w = parts_q[0].shape[3]
-    h = parts_q[0].shape[1] * (2 if up[0] else 1)
-    c = Wq2.shape[0]
+    w = parts_q[0].shape[3] // (2 if down[0] else 1)
+    h = parts_q[0].shape[1] * (2 if up[0] else 1) // (2 if down[0] else 1)
+    # pair mode: the conv weight matrices are 2-row blocks (2C rows)
+    c = Wq2.shape[0] // (2 if pair else 1)
     n_parts = len(parts_q)
     part_ch = tuple(p.shape[2] for p in parts_q)
     nh = h // th
     look = lookahead_enabled()
     assert not any(up) or (look and th % 16 == 0), (up, look, th)
+    assert not any(down) or look, (down, look)
+    assert not (any(down) and sub_w), "lane packing excludes pool-on-read"
     grid = (n, nh) if look else (n, nh + 1)
     c_out = c if KF is None else KF.shape[0]
     out_dtype = dtype if out_inv_scale is None else jnp.int8
 
     def cur_spec(p):
-        tb = th // 2 if up[p] else th
+        tb = 2 * th if down[p] else th // 2 if up[p] else th
+        wb = 2 * w if down[p] else w
         if look:
             return pl.BlockSpec(
-                (None, tb, part_ch[p], w),
+                (None, tb, part_ch[p], wb),
                 lambda ni, hi: (ni, hi, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         return pl.BlockSpec(
-            (None, tb, part_ch[p], w),
+            (None, tb, part_ch[p], wb),
             lambda ni, hi: (ni, jnp.minimum(hi, nh - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def look_spec(p):
-        tb = th // 2 if up[p] else th
-        hp = h // 2 if up[p] else h
+        tb = 2 * th if down[p] else th // 2 if up[p] else th
+        hp = 2 * h if down[p] else h // 2 if up[p] else h
+        wb = 2 * w if down[p] else w
+        lb = 16 if down[p] else 8
         return pl.BlockSpec(
-            (None, 8, part_ch[p], w),
-            lambda ni, hi: (ni, jnp.minimum((hi + 1) * (tb // 8), hp // 8 - 1),
-                            0, 0),
+            (None, lb, part_ch[p], wb),
+            lambda ni, hi, tb=tb, hp=hp, lb=lb: (
+                ni, jnp.minimum((hi + 1) * (tb // lb), hp // lb - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -595,7 +713,11 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
 
     carry = halo_carry_enabled()
     scratch = [
-        pltpu.VMEM((5 if look else th + 5, part_ch[p], w), jnp.int8)
+        pltpu.VMEM(
+            (10, part_ch[p], 2 * w) if down[p]
+            else (5 if look else th + 5, part_ch[p], w),
+            jnp.int8,
+        )
         for p in range(n_parts)
     ]
     if carry:
@@ -609,10 +731,16 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
         scratch += [pltpu.VMEM((2, K2s.shape[0], w), dtype)]  # actv carry
 
     weights = [Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s] + ([] if KF is None else [KF])
+    if any(down):
+        import numpy as _np
+
+        sel = _np.zeros((2 * w, w), _np.int8)
+        sel[_np.arange(0, 2 * w, 2), _np.arange(w)] = 1
+        weights += [jnp.asarray(sel)]
     return pl.pallas_call(
         _make_kernel_int8(n_parts, th, c, w, part_ch, h, KF is not None, dtype,
                           sub_w, out_inv_scale, seg_r, seg_lab, carry=carry,
-                          look=look, up=up),
+                          look=look, up=up, pair=pair, down=down),
         grid=grid,
         in_specs=(
             [cur_spec(p) for p in range(n_parts)]
@@ -635,7 +763,7 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
 
 
 def _probe_compile_int8(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
-                        th=8, up=()) -> bool:
+                        th=8, up=(), down=()) -> bool:
     """Probe-compile the INT8 stage program for one shape signature (the
     bf16 probe in ops/stage_kernel.py doesn't transfer: the s8 slabs halve
     the VMEM working set, which is exactly what lets the taller bands fit).
@@ -646,21 +774,42 @@ def _probe_compile_int8(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
     s = jax.ShapeDtypeStruct
     csum = sum(part_ch)
     up = tuple(up) if up else (False,) * len(part_ch)
+    down = tuple(down) if down else (False,) * len(part_ch)
     dtype = jnp.dtype(dtype)
     seg_r = pick_seg_r(th + 4) if seg_stack_enabled(True) else 0
     k1s_shape = (
         (seg_r * 8, 3 * (seg_r + 2) * c + 1) if seg_r else (lab, 9 * c + 1)
     )
-    args = (
-        # batch 2 forces the real cross-block double-buffering schedule
-        # (see ops/stage_kernel._probe_compile)
-        [s((2, h // 2 if up[pi] else h, cp, w), jnp.int8)
-         for pi, cp in enumerate(part_ch)]
-        + [
+    from ssunet_gan_tpu.ops.stage_kernel import pair_dots_enabled
+
+    pair = pair_dots_enabled(c)
+    m = 2 * c if pair else c
+    if pair:
+        conv_shapes = [
+            s((m, 12 * csum), jnp.int8),  # Wq1 pair lhs
+            s((m, 12 * c), jnp.int8),     # Wq2 pair lhs
+            s((m, 2 * csum), jnp.int8),   # Wqs pair lhs
+        ]
+    else:
+        conv_shapes = [
             s((c, 9 * csum), jnp.int8),   # Wq1
             s((c, 9 * c), jnp.int8),      # Wq2
             s((c, csum), jnp.int8),       # Wqs
-            s((5, c, w), jnp.float32),    # DQ (pre-tiled per-channel vecs)
+        ]
+    def part_shape(pi, cp):
+        if up[pi]:
+            return s((2, h // 2, cp, w), jnp.int8)
+        if down[pi]:
+            return s((2, 2 * h, cp, 2 * w), jnp.int8)
+        return s((2, h, cp, w), jnp.int8)
+
+    args = (
+        # batch 2 forces the real cross-block double-buffering schedule
+        # (see ops/stage_kernel._probe_compile)
+        [part_shape(pi, cp) for pi, cp in enumerate(part_ch)]
+        + conv_shapes
+        + [
+            s((5, m, w), jnp.float32),    # DQ (pre-tiled per-channel vecs)
             s(k1s_shape, dtype),          # K1s
             s((nh, 9 * lab + 1), dtype),  # K2s
             s((2 * c, 9 * nh + 1), dtype),  # K3s
@@ -675,7 +824,8 @@ def _probe_compile_int8(h, w, part_ch, c, lab, nh, num_out, dtype, sub_w=0,
         return _stage_call_int8(
             pq, wq1, wq2, wqs, dq, k1s, k2s, k3s, th, dtype, KF=kf,
             sub_w=sub_w, seg_r=seg_r, seg_lab=lab,
-            vmem_limit=_VMEM_LIMIT - _PROBE_MARGIN, up=up,
+            vmem_limit=_VMEM_LIMIT - _PROBE_MARGIN, up=up, pair=pair,
+            down=down,
         )
 
     try:
@@ -720,7 +870,23 @@ def fused_eval_stage_int8(
     the kernel's W-minor orientation (ops/wminor.py) when no head is folded
     and no lane packing applies.
     """
-    from ssunet_gan_tpu.ops.acts import WTensor
+    from ssunet_gan_tpu.ops.acts import (
+        DownQTensor as _DnQ0,
+        DownTensor as _DnT0,
+        WTensor,
+        materialize_down,
+        materialize_down_q,
+    )
+    if _pack_factor(parts[0].shape[0], parts[0].shape[2]) > 1 and any(
+        isinstance(p, (_DnT0, _DnQ0)) for p in parts
+    ):
+        # lane packing (deep/small widths) excludes pool-on-read
+        parts = tuple(
+            materialize_down(p) if isinstance(p, _DnT0)
+            else materialize_down_q(p) if isinstance(p, _DnQ0)
+            else p
+            for p in parts
+        )
     k1, (s1, t1), k2, (s2, t2), ks = block_bundle
     k1s, b1s, k2s, b2s, kgs, bgs, kbs, bbs = spade_bundle
     dtype = parts[0].dtype
@@ -736,27 +902,50 @@ def fused_eval_stage_int8(
             return None
         return _CALIB_SCALES.get(f"{calib_key}:{i}")
 
+    def _amax_half(i):
+        """Calibrated range for a lazy part's HALF-res payload: prefer the
+        half-specific record (``"<stage>:<i>:half"``, written by
+        ``models.ssunet._up`` during the calibration pass), falling back
+        to the full tensor's range. NOTE each FULL row is a convex
+        combination of HALF rows, so amax(full) ≤ amax(half): quantizing
+        the half payload at the full tensor's range can clip half-row
+        peaks the materialized path would keep (r4 advisor finding) —
+        hence the dedicated half record."""
+        if _CALIB_SCALES is None or calib_key is None:
+            return None
+        return _CALIB_SCALES.get(f"{calib_key}:{i}:half", _amax(i))
+
     def _qin(i, p):
         """Quantized W-minor (N, H, Cp, W) view + scale of part ``i``.
 
-        An :class:`ops.acts.UpTensor` part quantizes its HALF-H payload (the
-        calibrated range was recorded on the materialized full tensor — a
-        convex combination of half rows, so amax(full) ≤ amax(half) and the
-        static scale clips at most as much as on the materialized path);
+        An :class:`ops.acts.UpTensor` part quantizes its HALF-H payload
+        against the half-specific calibrated range (see ``_amax_half``);
         the kernel expands + requantizes it on read."""
-        from ssunet_gan_tpu.ops.acts import UpTensor
+        from ssunet_gan_tpu.ops.acts import DownQTensor, DownTensor, UpTensor
 
+        if isinstance(p, DownQTensor):
+            return p.q, jnp.float32(p.scale)
         if isinstance(p, QTensor):
             q = p.q if p.wminor else jnp.swapaxes(p.q, 2, 3)
             return q, jnp.float32(p.scale)
-        if isinstance(p, (WTensor, UpTensor)):
+        if isinstance(p, UpTensor):
+            return quantize_tensor(p.v, _amax_half(i))
+        if isinstance(p, DownTensor):
+            # pool-on-read: quantize the FULL payload at the consumer's
+            # recorded (pooled) range — amax(full) = amax(pooled), every
+            # full value above the pooled range would be a window max
+            return quantize_tensor(p.v, _amax(i))
+        if isinstance(p, WTensor):
             return quantize_tensor(p.v, _amax(i))
         q, s = quantize_tensor(p, _amax(i))
         return jnp.swapaxes(q, 2, 3), s
 
+    from ssunet_gan_tpu.ops.acts import DownQTensor as _DnQ
+    from ssunet_gan_tpu.ops.acts import DownTensor as _DnT
     from ssunet_gan_tpu.ops.acts import UpTensor as _UpT
 
     up = tuple(isinstance(p, _UpT) for p in parts)
+    down = tuple(isinstance(p, (_DnT, _DnQ)) for p in parts)
     qparts, sx = zip(*(_qin(i, p) for i, p in enumerate(parts)))
 
     # fold BN eval scale into conv weights, then the per-part input scale
@@ -786,13 +975,34 @@ def fused_eval_stage_int8(
     # lane-pack f images side by side, so tile to the PACKED width.
     f = _pack_factor(parts[0].shape[0], parts[0].shape[2])
     w_img = parts[0].shape[2] * f
+    from ssunet_gan_tpu.ops.stage_kernel import (
+        _pair_lhs_conv3,
+        _pair_lhs_rows,
+        pair_dots_enabled,
+    )
+
+    pair = pair_dots_enabled(c)
+    if pair:
+        # pair-stacked s8 dots (see ops/stage_kernel.set_pair_dots): the
+        # 2-row-block lhs reuses the ALREADY-QUANTIZED rows (the zero
+        # blocks are exact in s8, so the per-row scales carry over
+        # unchanged — d/t vectors just duplicate)
+        part_ch_ = [p.shape[-1] for p in parts]
+        Wq1 = _pair_lhs_conv3(Wq1, [9 * cp for cp in part_ch_])
+        Wq2 = _pair_lhs_conv3(Wq2, [9 * c])
+        Wqs = _pair_lhs_rows(
+            [Wqs[:, offs[pi] : offs[pi + 1]] for pi in range(len(parts))]
+        )
+        d1, t1, d2, ds, t2 = (
+            jnp.concatenate([v, v]) for v in (d1, t1, d2, ds, t2)
+        )
     DQ = jnp.stack(
         [
             jnp.tile(v.astype(jnp.float32)[:, None], (1, w_img))
             for v in (d1, t1, d2, ds, t2)
         ],
         axis=0,
-    )  # (5, C, W) f32
+    )  # (5, C|2C, W) f32
 
     # SPADE + final-head packing: identical to the bf16 kernel
     K1s = jnp.concatenate(
@@ -839,7 +1049,7 @@ def fused_eval_stage_int8(
     outv = _stage_call_int8(
         parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th, dtype, KF=KF,
         sub_w=sub_w, out_inv_scale=out_inv, seg_r=seg_r, seg_lab=lab,
-        up=up,
+        up=up, pair=pair, down=down,
     )
     if f > 1:
         outv = _unpack_lanes(outv, f)

@@ -38,9 +38,13 @@ import numpy as np
 from ssunet_gan_tpu.ops import pool as nhwc_pool
 from ssunet_gan_tpu.ops import resize as nhwc_resize
 from ssunet_gan_tpu.ops.acts import (
+    DownQTensor,
+    DownTensor,
     UpTensor,
     WCode,
     WTensor,
+    materialize_down,
+    materialize_down_q,
     materialize_up,
     up_weights_exact,
 )
@@ -48,9 +52,11 @@ from ssunet_gan_tpu.ops.resize import _linear_matrix
 from ssunet_gan_tpu.ops.stage_kernel_int8 import QTensor
 
 __all__ = [
-    "WTensor", "WCode", "UpTensor", "is_wminor", "to_nhwc", "to_wminor_view",
+    "WTensor", "WCode", "UpTensor", "DownTensor", "is_wminor", "to_nhwc",
+    "to_wminor_view",
     "pool2x2", "pool2x2_with_indices", "unpool2x2", "upsample2x",
     "materialize_up", "set_lazy_upsample", "lazy_upsample_enabled",
+    "materialize_down", "set_lazy_pool", "lazy_pool_enabled",
 ]
 
 
@@ -67,6 +73,10 @@ def to_nhwc(t: Activation):
     """Any activation → its NHWC form (QTensor stays a QTensor)."""
     if isinstance(t, UpTensor):
         t = materialize_up(t)
+    if isinstance(t, DownTensor):
+        t = materialize_down(t)
+    if isinstance(t, DownQTensor):
+        t = materialize_down_q(t)
     if isinstance(t, WTensor):
         return jnp.swapaxes(t.v, 2, 3)
     if isinstance(t, QTensor) and t.wminor:
@@ -78,6 +88,8 @@ def to_wminor_view(t: Activation) -> jax.Array:
     """The raw (N, H, C, W) view of an unquantized activation."""
     if isinstance(t, UpTensor):
         t = materialize_up(t)
+    if isinstance(t, DownTensor):
+        t = materialize_down(t)
     if isinstance(t, WTensor):
         return t.v
     assert not isinstance(t, QTensor), "quantized parts are handled per-path"
@@ -289,10 +301,49 @@ _unpool_w.defvjp(_up_fwd, _up_bwd)
 # ---------------------------------------------------------------------------
 
 
+_LAZY_POOL: Union[bool, None] = None
+
+
+def set_lazy_pool(enabled) -> None:
+    """Force the lazy (pool-on-read) encoder pool seams ON/OFF; None =
+    auto (ON — the consuming fused stage kernels pool full-res row bands
+    in VMEM, so the pooled tensor never exists in HBM and the 6D-reshape
+    lowering's relayout copies disappear; see ops/acts.DownTensor)."""
+    global _LAZY_POOL
+    _LAZY_POOL = enabled
+
+
+def lazy_pool_enabled() -> bool:
+    return True if _LAZY_POOL is None else bool(_LAZY_POOL)
+
+
+def _lazy_poolable(t) -> bool:
+    """Emit the lazy form? bf16 W-minor (or a W-minor producer-quantized
+    s8 QTensor — the calibrated int8 flow) with even dims: the fused eval
+    kernels' regimes — every other consumer would just materialize."""
+    if not lazy_pool_enabled():
+        return False
+    if isinstance(t, WTensor):
+        _, h, _, w = t.v.shape
+        return t.v.dtype == jnp.bfloat16 and h % 2 == 0 and w % 2 == 0
+    if isinstance(t, QTensor) and t.wminor:
+        _, h, _, w = t.q.shape
+        return h % 2 == 0 and w % 2 == 0
+    return False
+
+
 def pool2x2(t: Activation) -> Activation:
     """``nn.MaxPool2d(2, 2)`` on any activation form, preserving the form."""
     if isinstance(t, UpTensor):
         t = materialize_up(t)
+    if isinstance(t, DownTensor):
+        t = materialize_down(t)
+    if isinstance(t, DownQTensor):
+        t = materialize_down_q(t)
+    if _lazy_poolable(t):
+        if isinstance(t, QTensor):
+            return DownQTensor(t.q, t.scale, t.dtype)
+        return DownTensor(t.v)
     if isinstance(t, WTensor):
         return WTensor(_max_pool_w(t.v))
     if isinstance(t, QTensor):
@@ -309,6 +360,18 @@ def pool2x2_with_indices(t: Activation):
     code of ``ops.pool.max_pool_2x2_with_indices``."""
     if isinstance(t, UpTensor):
         t = materialize_up(t)
+    if isinstance(t, DownTensor):
+        t = materialize_down(t)
+    if isinstance(t, DownQTensor):
+        t = materialize_down_q(t)
+    if _lazy_poolable(t):
+        # lazy VALUES + eager code: the code rides the standard lowering
+        # and is DCE'd when unconsumed (the flagship's level-0/1 codes are
+        # never used — archs.py:593-667 unpools only the top 3 levels)
+        if isinstance(t, QTensor):
+            return (DownQTensor(t.q, t.scale, t.dtype),
+                    WCode(_max_pool_idx_w(t.q)[1]))
+        return DownTensor(t.v), WCode(_max_pool_idx_w(t.v)[1])
     if isinstance(t, WTensor):
         p, code = _max_pool_idx_w(t.v)
         return WTensor(p), WCode(code)
@@ -327,6 +390,8 @@ def unpool2x2(values: Activation, code) -> Activation:
     of the 4×-larger unpooled one)."""
     if isinstance(values, UpTensor):
         values = materialize_up(values)
+    if isinstance(values, DownTensor):
+        values = materialize_down(values)
     if isinstance(values, QTensor):
         values = values.dequant()  # unpool sites are bf16 in every arch
     if isinstance(code, WCode):

@@ -356,3 +356,68 @@ def test_int8_stage_lazy_upsample_close_to_materialized(rng):
     scale = np.abs(want).max() + 1e-6
     rms = np.sqrt(np.mean((got - want) ** 2)) / scale
     assert rms < 0.02, f"relative RMS {rms:.4f}"
+
+
+def test_int8_pair_dots_matches_per_row(rng):
+    """int8 pair mode reuses the per-row-quantized weights in 2-row blocks
+    (zero blocks exact in s8) — identical s32 accumulations, so exact."""
+    import jax
+
+    from ssunet_gan_tpu.ops import stage_kernel as sk
+    from ssunet_gan_tpu.ops import stage_kernel_int8 as sk8
+    from ssunet_gan_tpu.ops.blocks import BasicBlock
+    from ssunet_gan_tpu.ops.spade import SPADE
+
+    planes = 16
+    n, h, w = 2, 32, 16
+    cp0, cp1 = 8, 16
+    skip = jnp.asarray(rng.normal(size=(n, h, w, cp0)).astype(np.float32))
+    x2 = jnp.asarray(rng.normal(size=(n, h, w, cp1)).astype(np.float32))
+    xin = (skip, x2)
+    block = BasicBlock(planes, in_planes=cp0 + cp1)
+    bvars = jax.jit(lambda: block.init(jax.random.PRNGKey(3), xin, True))()
+    spade = SPADE("spadebatch3x3", planes, 3, 4.0)
+    y0 = jnp.zeros((n, h, w, planes), jnp.float32)
+    svars = jax.jit(lambda: spade.init(jax.random.PRNGKey(4), y0, y0))()
+    bp = block.apply(bvars, None, False)
+    sp = spade.apply(svars, None, None)
+
+    sk.set_pair_dots(False)
+    want = sk8.fused_eval_stage_int8(xin, bp, sp)
+    sk.set_pair_dots(True)
+    got = sk8.fused_eval_stage_int8(xin, bp, sp)
+    sk.set_pair_dots(None)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_int8_lazy_pool_model_parity(rng):
+    """Calibrated int8 flagship forward with lazy pool seams (pool-on-read
+    in the s8 kernel; DownQTensor in the kernel-to-kernel flow) vs
+    materializing pools — bit-exact (s8 max-pooling commutes with
+    symmetric quantization; the decimation dot is exact in s32)."""
+    from ssunet_gan_tpu.infer.calibrate import calibrate_int8
+    from ssunet_gan_tpu.ops.stage_kernel_int8 import set_int8_calibration
+    from ssunet_gan_tpu.ops.wminor import set_lazy_pool
+
+    x = np.asarray(rng.normal(size=(2, 32, 32, 3)), np.float32)
+    model = build_model("UNet_R_SS_v2", num_classes=3, input_channels=3)
+    set_fused_stage(False)
+    variables = jit_init(model, jax.random.PRNGKey(0), jnp.asarray(x),
+                         train=False)
+    calibrate_int8(model, variables, x, batch_size=2)
+    set_fused_stage(True)
+    set_int8_stage(True)
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    try:
+        set_lazy_pool(False)
+        want = np.asarray(model.apply(variables, xb, False), np.float32)
+        set_lazy_pool(True)
+        got = np.asarray(model.apply(variables, xb, False), np.float32)
+    finally:
+        set_lazy_pool(None)
+        set_int8_stage(False)
+        set_int8_calibration(None)
+    np.testing.assert_array_equal(got, want)

@@ -133,6 +133,11 @@ def main(argv=None):
                     help="non-saturated regime: label noise + appearance "
                          "ambiguity so val IoU plateaus ~0.7-0.85 and the "
                          "eval-path deltas are informative")
+    ap.add_argument("--scene", action="store_true",
+                    help="ALSO bar the whole-scene device path (patch -> "
+                         "batched forward -> device merge -> IoU on the "
+                         "merged masks) per eval config — the e2e "
+                         "counterpart of the tile bars (r4 VERDICT #8)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -246,7 +251,99 @@ def main(argv=None):
     d_int8 = min(abs(rows[3][1] - base_iou), abs(rows[4][1] - base_iou))
     print(f"\nbf16-fused IoU delta: {d_bf16:.4f}  (bar: small)")
     print(f"int8-fused IoU delta (best mode): {d_int8:.4f}  (bar: <= 0.005)")
-    return 0 if d_int8 <= 0.005 else 1
+
+    rc = 0 if d_int8 <= 0.005 else 1
+    if args.scene:
+        rc = max(rc, _scene_bars(args, model, variables, val_ds, size))
+    return rc
+
+
+def _scene_bars(args, model, variables, val_ds, size) -> int:
+    """Whole-scene e2e bars: assemble a (4·size)² scene from val tiles,
+    run patch → batched forward → device merge per eval config, and score
+    the MERGED {0,255} masks against the assembled GT (channels 1.., the
+    reference's metric convention). This is the val_patch.py-shaped path
+    (reference api:119-217 + val_patch.py:444-481) with the bench's
+    device-side contract: uint8 tiles + device normalize, quantized-u8
+    probs into the merge."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ssunet_gan_tpu.data.tiling import grid_coords, merge_patches_device
+    from ssunet_gan_tpu.infer.api import INFER_BATCH, _get_forward
+    from ssunet_gan_tpu.infer.calibrate import calibrate_int8
+    from ssunet_gan_tpu.ops.spade_kernel import set_fused_spade
+    from ssunet_gan_tpu.ops.stage_kernel import set_fused_stage
+    from ssunet_gan_tpu.ops.stage_kernel_int8 import (
+        set_int8_calibration,
+        set_int8_stage,
+    )
+
+    k = 4
+    n_tiles = len(val_ds)
+    imgs, masks = [], []
+    for i in range(k * k):
+        item = val_ds[i % n_tiles]
+        imgs.append(item[0])                       # ori uint8 HWC
+        masks.append((item[2] > 0.5).astype(np.uint8) * 255)
+    scene = np.concatenate(
+        [np.concatenate(imgs[r * k:(r + 1) * k], axis=1) for r in range(k)],
+        axis=0).astype(np.uint8)
+    gt = np.concatenate(
+        [np.concatenate(masks[r * k:(r + 1) * k], axis=1) for r in range(k)],
+        axis=0)
+    overlap = 0.5
+    coords = grid_coords(scene.shape[0], scene.shape[1], size, overlap)
+    patches = np.stack([
+        scene[y:y + size, x:x + size] for y, x in coords
+    ])
+
+    def run(label, dtype, fused, int8):
+        set_fused_stage(fused)
+        set_int8_stage(int8)
+        set_fused_spade(None)
+        fwd, dev_vars = _get_forward(model, variables, None, normalize=True,
+                                     dtype=dtype, quantize_probs=True)
+        n = len(patches)
+        pad = (-n) % INFER_BATCH
+        pp = np.concatenate([patches, np.zeros_like(patches[:pad])]) \
+            if pad else patches
+        probs = jnp.concatenate([
+            fwd(dev_vars, jnp.asarray(pp[i:i + INFER_BATCH]))
+            for i in range(0, len(pp), INFER_BATCH)
+        ])[:n]
+        merged = merge_patches_device(
+            probs, coords, scene.shape[0], scene.shape[1], size, 3,
+            overlap=overlap)
+        smooth = 1e-5
+        ious = []
+        for c in range(1, 3):  # ch-1.. convention
+            p_ = merged[..., c] > 0
+            g_ = gt[..., c] > 0
+            ious.append(((p_ & g_).sum() + smooth) /
+                        ((p_ | g_).sum() + smooth))
+        return label, float(np.mean(ious))
+
+    rows = [
+        run("scene f32-unfused", None, False, False),
+        run("scene bf16-fused (bench config)", jnp.bfloat16, True, False),
+    ]
+    tiles = np.stack(
+        [val_ds[i][1] for i in range(len(val_ds))]).astype(np.float32)
+    calibrate_int8(model, variables, tiles, batch_size=min(8, len(tiles)))
+    rows.append(run("scene int8-fused (calibrated)", jnp.bfloat16, True, True))
+    set_int8_calibration(None)
+    set_int8_stage(False)
+
+    base = rows[0][1]
+    print("\n| Scene eval config | merged IoU | Δ |")
+    print("|---|---|---|")
+    for label, iou in rows:
+        print(f"| {label} | {iou:.4f} | {iou - base:+.4f} |")
+    d8 = abs(rows[2][1] - base)
+    print(f"\nscene int8 IoU delta: {d8:.4f}  (bar: <= 0.005)")
+    return 0 if d8 <= 0.005 else 1
 
 
 if __name__ == "__main__":

@@ -48,6 +48,17 @@ def main(argv=None):
     ap.add_argument("--pool-impl", default="",
                     choices=["", "reshape6", "shift_dot", "shift_slice"],
                     help="W-minor pool lowering A/B (ops/wminor.py)")
+    ap.add_argument("--pair", default="auto", choices=["auto", "on", "off"],
+                    help="pair-stacked conv dots for 2C<=128 stages "
+                         "(ops/stage_kernel.set_pair_dots)")
+    ap.add_argument("--bias-tile", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="conv bias as (C, W) tile instead of a +1 K "
+                         "column (ops/stage_kernel.set_bias_tile)")
+    ap.add_argument("--lazy-pool", default="auto",
+                    choices=["auto", "on", "off"],
+                    help="pool-on-read encoder seams "
+                         "(ops/wminor.set_lazy_pool)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -85,6 +96,18 @@ def main(argv=None):
         from ssunet_gan_tpu.ops.wminor import set_pool_impl
 
         set_pool_impl(args.pool_impl)
+    if args.pair != "auto":
+        from ssunet_gan_tpu.ops.stage_kernel import set_pair_dots
+
+        set_pair_dots(args.pair == "on")
+    if args.bias_tile != "auto":
+        from ssunet_gan_tpu.ops.stage_kernel import set_bias_tile
+
+        set_bias_tile(args.bias_tile == "on")
+    if args.lazy_pool != "auto":
+        from ssunet_gan_tpu.ops.wminor import set_lazy_pool
+
+        set_lazy_pool(args.lazy_pool == "on")
 
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
