@@ -221,16 +221,20 @@ def _conv3_rows(slabs, kp, t_out: int, dtype, sub_w: int = 0, post=None):
 
 
 def _conv3_row_fn(slabs, kp, dtype, sub_w: int = 0, post=None,
-                  ones: bool = True):
+                  ones: Optional[bool] = None):
     """Row function of :func:`_conv3_rows` (``row(t) -> (Cout, W)``), for
     callers that compute arbitrary row subsets (the halo-carry path).
 
-    ``ones=False`` drops the bias ones-row from the contraction (the
-    bias-tile mode: K stays exactly 9·ΣCp — a +1 column pushes the
+    ``ones`` controls the bias ones-row: None (default) derives it from
+    the packed kernel's K — a kp with K = 9·ΣCp carries no bias column
+    and the contraction stays exactly 9·ΣCp deep (a +1 column pushes the
     busiest decoder signatures over an exact 128-multiple of K, costing a
-    whole extra MXU K-tile pass per row; the caller adds the bias as a
-    pre-broadcast (C, W) tile in ``post``)."""
+    whole extra MXU K-tile pass per row; bias-free callers — the train
+    conv kernels packed a ZERO column historically — and bias-tile-mode
+    callers add nothing/a pre-broadcast (C, W) tile in ``post``)."""
     w = slabs[0].shape[-1]
+    if ones is None:
+        ones = kp.shape[-1] != 9 * sum(s.shape[1] for s in slabs)
     ones_row = jnp.ones((1, w), dtype)
 
     def row(t):

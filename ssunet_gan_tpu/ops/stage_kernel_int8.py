@@ -361,9 +361,12 @@ def _pool_on_read_s8(scr, cur, lookr, sel, i, th: int, h_img: int):
     """s8 variant of ``ops.stage_kernel._pool_on_read``: pool a FULL-res
     quantized part's band window to POOLED s8 rows in VMEM. Max-pooling
     commutes with symmetric quantization (s8 compares are the dequantized
-    compares), and the one-hot decimation dot is exact in s32 — bit-exact
-    vs pooling the materialized s8 tensor."""
+    compares). Mosaic does not legalize s8 elementwise max
+    (``arith.maxsi``), so the compare/decimate run in bf16 — exact for
+    s8-range integers (|q| ≤ 127 < 2⁸, and the one-hot decimation dot is
+    an exact selection) — and cast back to s8. ``sel`` arrives in bf16."""
     xf = jnp.concatenate([scr[:], cur[:], lookr[0:10]], axis=0)
+    xf = xf.astype(jnp.bfloat16)
     rows = []
     for t in range(th + 10):
         top, bot = xf[2 * t], xf[2 * t + 1]
@@ -373,10 +376,7 @@ def _pool_on_read_s8(scr, cur, lookr, sel, i, th: int, h_img: int):
     outs = []
     for g in range((th + 10) // 2):
         m2 = jnp.concatenate([rows[2 * g], rows[2 * g + 1]], axis=0)
-        d = jax.lax.dot_general(
-            m2, sel[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        d = jnp.dot(m2, sel[:], preferred_element_type=jnp.float32)
         outs.append(d.astype(jnp.int8))
     cp = xf.shape[1]
     mp = jnp.concatenate(outs, axis=0).reshape(th + 10, cp, sel.shape[1])
@@ -734,9 +734,9 @@ def _stage_call_int8(parts_q, Wq1, Wq2, Wqs, DQ, K1s, K2s, K3s, th: int,
     if any(down):
         import numpy as _np
 
-        sel = _np.zeros((2 * w, w), _np.int8)
-        sel[_np.arange(0, 2 * w, 2), _np.arange(w)] = 1
-        weights += [jnp.asarray(sel)]
+        sel = _np.zeros((2 * w, w), _np.float32)
+        sel[_np.arange(0, 2 * w, 2), _np.arange(w)] = 1.0
+        weights += [jnp.asarray(sel, dtype)]  # bf16: s8 max isn't legal
     return pl.pallas_call(
         _make_kernel_int8(n_parts, th, c, w, part_ch, h, KF is not None, dtype,
                           sub_w, out_inv_scale, seg_r, seg_lab, carry=carry,

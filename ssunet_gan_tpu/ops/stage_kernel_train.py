@@ -527,8 +527,14 @@ def _tail_call(f2_v, parts_v, A2, B2, Ws, K1s, K2s, K3s, KF=None,
 
 
 def _pack_conv(k, part_ch, bias=None, dtype=jnp.bfloat16):
-    """HWIO 3×3 kernel → (C, 9·ΣCp+1) parts-major tap-major, bias last.
-    ``part_ch``: the per-part input channel counts."""
+    """HWIO 3×3 kernel → (C, 9·ΣCp[+1]) parts-major tap-major, bias last
+    when given. ``part_ch``: the per-part input channel counts.
+
+    Bias-free packings carry NO trailing column (r5): the historical zero
+    column pushed K past an exact 128-multiple at the flagship decoder
+    signatures — a whole wasted MXU K-tile pass per row
+    (``spade_kernel._conv3_row_fn`` derives the column's presence from
+    the packed K)."""
     c = k.shape[-1]
     offs = [0]
     for cp in part_ch:
@@ -537,8 +543,9 @@ def _pack_conv(k, part_ch, bias=None, dtype=jnp.bfloat16):
         k[:, :, offs[pi] : offs[pi + 1], :].reshape(9 * part_ch[pi], c).T
         for pi in range(len(part_ch))
     ]
-    b = jnp.zeros((c, 1), k.dtype) if bias is None else bias.reshape(c, 1)
-    return jnp.concatenate(cols + [b], axis=1).astype(dtype)
+    if bias is not None:
+        cols = cols + [bias.reshape(c, 1)]
+    return jnp.concatenate(cols, axis=1).astype(dtype)
 
 
 def _pack_spade(sp, c, dtype):
