@@ -128,9 +128,18 @@ def _dq(t):
 
 
 # max-pool through any activation form (QTensor pooling commutes with
-# symmetric quantization; W-minor forms pool in place — ops/wminor.py)
-_qpool_idx = pool2x2_with_indices
-_qpool = pool2x2
+# symmetric quantization; W-minor forms pool in place — ops/wminor.py).
+# TRAIN-mode pools skip the lazy (pool-on-read) emission: train consumers
+# always materialize, so the lazy detour would only split the value/code
+# computations apart (r5 train regression).
+
+
+def _qpool_idx(x, train: bool = False):
+    return pool2x2_with_indices(x, lazy=not train)
+
+
+def _qpool(x, train: bool = False):
+    return pool2x2(x, lazy=not train)
 
 
 def _spade_stage(x, planes, num_classes, ss, bname, sname, train,
@@ -354,13 +363,13 @@ class SSUNet(nn.Module):
         # encoder stages name their skip consumer as the s8-emission key
         # (see UNetRSSv2); x4_0 feeds only the bilinear _up → stays bf16
         x0_0 = stage(x, 0, "conv0_0", "SPADE0_0", out_key="conv0_4:0")
-        x1_0 = stage(_qpool(x0_0), 1, "conv1_0", "SPADE1_0",
+        x1_0 = stage(_qpool(x0_0, train), 1, "conv1_0", "SPADE1_0",
                      out_key="conv1_3:0")
-        x2_0 = stage(_qpool(x1_0), 2, "conv2_0", "SPADE2_0",
+        x2_0 = stage(_qpool(x1_0, train), 2, "conv2_0", "SPADE2_0",
                      out_key="conv2_2:0")
-        x3_0 = stage(_qpool(x2_0), 3, "conv3_0", "SPADE3_0",
+        x3_0 = stage(_qpool(x2_0, train), 3, "conv3_0", "SPADE3_0",
                      out_key="conv3_1:0")
-        x4_0 = stage(_qpool(x3_0), 4, "conv4_0", "SPADE4_0")
+        x4_0 = stage(_qpool(x3_0, train), 4, "conv4_0", "SPADE4_0")
 
         x3_1 = stage((x3_0, _up(x4_0, train, "conv3_1:1")), 3, "conv3_1", "SPADE3_1")
         x2_2 = stage((x2_0, _up(x3_1, train, "conv2_2:1")), 2, "conv2_2", "SPADE2_2")
@@ -394,10 +403,10 @@ class UNetBSS(nn.Module):
                                 block="bneck")[0]
 
         x0_0 = stage(x, 0, "conv0_0", "SPADE0_0")
-        x1_0 = stage(_qpool(x0_0), 1, "conv1_0", "SPADE1_0")
-        x2_0 = stage(_qpool(x1_0), 2, "conv2_0", "SPADE2_0")
-        x3_0 = stage(_qpool(x2_0), 3, "conv3_0", "SPADE3_0")
-        x4_0 = stage(_qpool(x3_0), 4, "conv4_0", "SPADE4_0")
+        x1_0 = stage(_qpool(x0_0, train), 1, "conv1_0", "SPADE1_0")
+        x2_0 = stage(_qpool(x1_0, train), 2, "conv2_0", "SPADE2_0")
+        x3_0 = stage(_qpool(x2_0, train), 3, "conv3_0", "SPADE3_0")
+        x4_0 = stage(_qpool(x3_0, train), 4, "conv4_0", "SPADE4_0")
 
         # x3_1 (512 planes) never fuses — force the einsum_hw H-then-W
         # order there (the lazy form would materialize W-then-H, the
@@ -439,16 +448,16 @@ class UNetRSS(nn.Module):
         # encoder stages name their skip consumer as the s8-emission key
         # (see UNetRSSv2); x5_0 feeds only the bilinear _up → stays bf16
         x0_0 = stage(x, f[0], "conv0_0", "SPADE0_0", out_key="conv0_4:0")
-        x1_0 = stage(_qpool(x0_0), f[1], "conv1_0", "SPADE1_0",
+        x1_0 = stage(_qpool(x0_0, train), f[1], "conv1_0", "SPADE1_0",
                      out_key="conv1_3:0")
-        x2_0 = stage(_qpool(x1_0), f[2], "conv2_0", "SPADE2_0",
+        x2_0 = stage(_qpool(x1_0, train), f[2], "conv2_0", "SPADE2_0",
                      out_key="conv2_2:0")
-        x3_0 = stage(_qpool(x2_0), f[3], "conv3_0", "SPADE3_0",
+        x3_0 = stage(_qpool(x2_0, train), f[3], "conv3_0", "SPADE3_0",
                      out_key="conv3_1:0")
-        x4_0 = stage(_qpool(x3_0), f[4], "conv4_0", "SPADE4_0",
+        x4_0 = stage(_qpool(x3_0, train), f[4], "conv4_0", "SPADE4_0",
                      out_key="conv4_1:0")
 
-        x5_0 = stage(_qpool(x4_0), f[5], "conv5_0", "SPADE5_0")
+        x5_0 = stage(_qpool(x4_0, train), f[5], "conv5_0", "SPADE5_0")
         x4_1 = stage((x4_0, _up(x5_0, train, "conv4_1:1")), f[4], "conv4_1", "SPADE4_1")
         x3_1 = stage((x3_0, _up(x4_1, train, "conv3_1:1")), f[3], "conv3_1", "SPADE3_1")
         x2_2 = stage((x2_0, _up(x3_1, train, "conv2_2:1")), f[2], "conv2_2", "SPADE2_2")
@@ -497,18 +506,18 @@ class UNetRSSv2(nn.Module):
         # skip) reads it quantized — kernel-to-kernel int8 flow.
         enc_0 = stage(x, f[0], "conv0_0", "SPADE0_0", out_key="conv0_1:0")
 
-        p0, idx0 = _qpool_idx(enc_0)
+        p0, idx0 = _qpool_idx(enc_0, train)
         enc_1 = stage(p0, f[1], "conv1_0", "SPADE1_0", out_key="conv1_1:0")
 
-        p1, idx1 = _qpool_idx(enc_1)
+        p1, idx1 = _qpool_idx(enc_1, train)
         enc_2 = stage(p1, f[2], "conv2_0", "SPADE2_0", out_key="conv2_1:0")
 
-        p2, idx2 = _qpool_idx(enc_2)
+        p2, idx2 = _qpool_idx(enc_2, train)
         enc_3 = stage(p2, f[3], "conv3_0", "SPADE3_0", out_key="conv3_1:0")
 
-        p3, idx3 = _qpool_idx(enc_3)
+        p3, idx3 = _qpool_idx(enc_3, train)
         enc_4 = stage(p3, f[4], "conv4_0", "SPADE4_0", out_key="conv4_1:0")
-        p4, idx4 = _qpool_idx(enc_4)
+        p4, idx4 = _qpool_idx(enc_4, train)
 
         enc_5 = stage(p4, f[5], "conv5_0", "SPADE5_0")
         enc_5 = Conv2d(f[4], 1, use_bias=False, name="conv_head5_0")(enc_5)

@@ -115,21 +115,27 @@ class DownQTensor(NamedTuple):
 
 
 def materialize_down_q(t: DownQTensor):
-    """Apply the pending pool on the s8 payload (wminor QTensor out)."""
+    """Apply the pending pool on the s8 payload (wminor QTensor out).
+
+    Uses the WITH-indices primitive's value output so a sibling code
+    computation from the same payload (pool2x2_with_indices' eager code)
+    CSEs into one pool instead of two."""
     from ssunet_gan_tpu.ops import wminor
     from ssunet_gan_tpu.ops.stage_kernel_int8 import QTensor
 
-    return QTensor(wminor._max_pool_w(t.q), t.scale, t.dtype, wminor=True)
+    return QTensor(wminor._max_pool_idx_w(t.q)[0], t.scale, t.dtype,
+                   wminor=True)
 
 
 def materialize_down(t: DownTensor):
     """Apply the pending 2×2 max-pool (fallback for non-kernel consumers):
     returns the pooled W-minor activation via the standard lowering.
     Calls the pool primitive directly — ``pool2x2`` would re-emit the
-    lazy form."""
+    lazy form. Uses the WITH-indices primitive's value output so a
+    sibling code computation from the same payload CSEs into one pool."""
     from ssunet_gan_tpu.ops import wminor
 
-    return wminor.WTensor(wminor._max_pool_w(t.v))
+    return wminor.WTensor(wminor._max_pool_idx_w(t.v)[0])
 
 
 def up_weights_exact(hh: int) -> bool:

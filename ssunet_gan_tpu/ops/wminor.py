@@ -29,6 +29,8 @@ quantization).
 
 from __future__ import annotations
 
+import functools
+
 from typing import Tuple, Union
 
 import jax
@@ -332,15 +334,20 @@ def _lazy_poolable(t) -> bool:
     return False
 
 
-def pool2x2(t: Activation) -> Activation:
-    """``nn.MaxPool2d(2, 2)`` on any activation form, preserving the form."""
+def pool2x2(t: Activation, lazy=None) -> Activation:
+    """``nn.MaxPool2d(2, 2)`` on any activation form, preserving the form.
+
+    ``lazy=False`` disables the lazy (pool-on-read) emission for this call
+    — TRAIN-mode call sites pass it: their consumers always materialize,
+    so the lazy detour would just split the value/code computations apart
+    (the r5 train regression)."""
     if isinstance(t, UpTensor):
         t = materialize_up(t)
     if isinstance(t, DownTensor):
         t = materialize_down(t)
     if isinstance(t, DownQTensor):
         t = materialize_down_q(t)
-    if _lazy_poolable(t):
+    if lazy is not False and _lazy_poolable(t):
         if isinstance(t, QTensor):
             return DownQTensor(t.q, t.scale, t.dtype)
         return DownTensor(t.v)
@@ -353,18 +360,19 @@ def pool2x2(t: Activation) -> Activation:
     return nhwc_pool.max_pool_2x2(t)
 
 
-def pool2x2_with_indices(t: Activation):
+def pool2x2_with_indices(t: Activation, lazy=None):
     """``nn.MaxPool2d(2, 2, return_indices=True)`` on any activation form.
 
     W-minor inputs return a :class:`WCode`; NHWC inputs return the NHWC
-    code of ``ops.pool.max_pool_2x2_with_indices``."""
+    code of ``ops.pool.max_pool_2x2_with_indices``. ``lazy=False`` as in
+    :func:`pool2x2`."""
     if isinstance(t, UpTensor):
         t = materialize_up(t)
     if isinstance(t, DownTensor):
         t = materialize_down(t)
     if isinstance(t, DownQTensor):
         t = materialize_down_q(t)
-    if _lazy_poolable(t):
+    if lazy is not False and _lazy_poolable(t):
         # lazy VALUES + eager code: the code rides the standard lowering
         # and is DCE'd when unconsumed (the flagship's level-0/1 codes are
         # never used — archs.py:593-667 unpools only the top 3 levels)
@@ -473,6 +481,105 @@ def _shift_lerp_weights(rm: np.ndarray, h: int):
     return w0, w1
 
 
+# Backward of the H-interp einsum. The hypothesis (r5): autodiff's
+# einsum transpose is another H-MAJOR-axis contraction wrapped in
+# relayout copies, while the transpose is really a 2x DOWN-combination
+# (half row j receives from full rows 2j-1..2j+2 only) expressible as
+# four per-row-weighted strided MAJOR-axis views - no contraction.
+# MEASURED NEGATIVE on the flagship train step (b=8 bf16 @512^2, device
+# traces): decomp 122.6 ms/step vs einsum-transpose 113.6 - the strided
+# even/odd H-views lower as unfused slice+elementwise passes (~+9 ms),
+# and a fusion-friendlier formulation canonicalized to the IDENTICAL
+# HLO. Default stays the einsum transpose; the decomp ships as a tested
+# opt-in (SSUNET_GAN_TPU_UP_BWD=decomp / set_up_bwd_decomp) with exact
+# gradient parity pinned in tests/test_wminor.py.
+import os as _os
+
+_UP_BWD_DECOMP = _os.environ.get("SSUNET_GAN_TPU_UP_BWD", "einsum") == "decomp"
+
+
+def set_up_bwd_decomp(enabled: bool) -> None:
+    global _UP_BWD_DECOMP
+    _UP_BWD_DECOMP = bool(enabled)
+
+
+def _h_interp_einsum_fwd_only(hi_prec, rmj, v):
+    if hi_prec:  # the f32 path's einsum ran at Precision.HIGHEST
+        return jnp.einsum("ph,nhcw->npcw", rmj, v,
+                          precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("ph,nhcw->npcw", rmj, v,
+                      preferred_element_type=jnp.float32)
+
+
+def _bwd_wvecs(rm_np: np.ndarray):
+    """Static per-half-row source weights of the transpose: half row j
+    receives from full rows 2j-1, 2j, 2j+1, 2j+2 (everything else in
+    rm's column j is zero). ``rm_np`` arrives already quantized to the
+    forward's operand dtype. Returned as nested tuples (hashable
+    nondiff args for the custom_vjp)."""
+    h = rm_np.shape[1]
+    j = np.arange(h)
+    w_m1 = np.where(j >= 1, rm_np[np.clip(2 * j - 1, 0, 2 * h - 1), j], 0.0)
+    w_0 = rm_np[2 * j, j]
+    w_p1 = rm_np[2 * j + 1, j]
+    w_p2 = np.where(2 * j + 2 < 2 * h,
+                    rm_np[np.clip(2 * j + 2, 0, 2 * h - 1), j], 0.0)
+    return tuple(
+        tuple(float(x) for x in v) for v in (w_m1, w_0, w_p1, w_p2)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _h_interp_einsum(hi_prec, wvecs, rmj, v):
+    # H-axis 2x interp contraction with a copy-free backward (module note
+    # above). rmj: (2H, H) row matrix in the operand dtype; v: (N, H, C, W);
+    # wvecs: static _bwd_wvecs of the SAME quantized matrix.
+    # Returns f32 (N, 2H, C, W).
+    return _h_interp_einsum_fwd_only(hi_prec, rmj, v)
+
+
+def _h_interp_einsum_vjp_fwd(hi_prec, wvecs, rmj, v):
+    return _h_interp_einsum_fwd_only(hi_prec, rmj, v), (rmj,)
+
+
+def _h_interp_einsum_vjp_bwd(hi_prec, wvecs, res, g):
+    (rmj,) = res
+    vdtype = rmj.dtype  # both call sites pass v in the row matrix's dtype
+    h = g.shape[1] // 2
+    w_m1, w_0, w_p1, w_p2 = (np.asarray(wv_, np.float32) for wv_ in wvecs)
+
+    # stay in g's dtype until the weighted f32 accumulation — a full-
+    # tensor f32 pre-cast would materialize 2x the traffic before the
+    # slices and block fusion
+    g_even = g[:, 0::2]   # full rows 2k   - strided MAJOR-axis view
+    g_odd = g[:, 1::2]    # full rows 2k+1
+    zero = jnp.zeros_like(g_odd[:, :1])
+    g_odd_m1 = jnp.concatenate([zero, g_odd[:, :-1]], axis=1)   # row 2j-1
+    g_even_p1 = jnp.concatenate([g_even[:, 1:], zero], axis=1)  # row 2j+2
+
+    def wv(x):
+        return jnp.asarray(x, jnp.float32).reshape(1, h, 1, 1)
+
+    gv = (g_odd_m1.astype(jnp.float32) * wv(w_m1)
+          + g_even.astype(jnp.float32) * wv(w_0)
+          + g_odd.astype(jnp.float32) * wv(w_p1)
+          + g_even_p1.astype(jnp.float32) * wv(w_p2))
+    return jnp.zeros_like(rmj), gv.astype(vdtype)
+
+
+_h_interp_einsum.defvjp(_h_interp_einsum_vjp_fwd, _h_interp_einsum_vjp_bwd)
+
+
+def _h_interp(rmj, v, rm_np: np.ndarray, hi_prec: bool = False):
+    # H-interp contraction; the copy-free custom backward is the default
+    # (set_up_bwd_decomp restores autodiff's einsum transpose for A/B).
+    # ``rm_np``: the STATIC numpy matrix rmj was built from, quantized to
+    # the operand dtype.
+    if _UP_BWD_DECOMP:
+        return _h_interp_einsum(hi_prec, _bwd_wvecs(rm_np), rmj, v)
+    return _h_interp_einsum_fwd_only(hi_prec, rmj, v)
+
+
 def _h_interp_shift_lerp(v: jax.Array, w0: np.ndarray, w1: np.ndarray,
                          wdtype) -> jax.Array:
     """out[p] = w0[p]·v[(p-1)//2] + w1[p]·v[(p-1)//2+1] (clamped), built
@@ -523,8 +630,10 @@ def upsample2x(t: Activation, align_corners: bool = True) -> Activation:
             x = _h_interp_shift_lerp(v, *lerp, jnp.bfloat16)
         else:
             rmj = jnp.asarray(rm, dtype=jnp.bfloat16)
-            x = jnp.einsum("ph,nhcw->npcw", rmj, v,
-                           preferred_element_type=jnp.float32)
+            import ml_dtypes
+
+            rm_q = np.asarray(rm).astype(ml_dtypes.bfloat16).astype(np.float32)
+            x = _h_interp(rmj, v, rm_q)
         x = jnp.einsum("qw,npcw->npcq", cmj, x, preferred_element_type=jnp.float32)
         return WTensor(x.astype(v.dtype))
     prec = jax.lax.Precision.HIGHEST
@@ -532,6 +641,6 @@ def upsample2x(t: Activation, align_corners: bool = True) -> Activation:
     if lerp is not None:
         x = _h_interp_shift_lerp(x, *lerp, jnp.float32)
     else:
-        x = jnp.einsum("ph,nhcw->npcw", jnp.asarray(rm), x, precision=prec)
+        x = _h_interp(jnp.asarray(rm), x, np.asarray(rm), hi_prec=True)
     x = jnp.einsum("qw,npcw->npcq", jnp.asarray(cm), x, precision=prec)
     return WTensor(x.astype(v.dtype))

@@ -128,8 +128,14 @@ def make_gan_train_step(
         g_out_sg = jax.lax.stop_gradient(g_out)
 
         def d_loss_fn(d_params):
+            # D sees the training activation dtype: the reference feeds
+            # torch f32 everywhere, but under mixed precision g_out (and
+            # therefore D's fake branch) is bf16 — an f32 real branch
+            # would silently run D's convs at half the MXU rate. In f32
+            # training this cast is a no-op.
             d_real, d_updates2 = _apply(
-                discriminator, d_params, d_aux2, target, True, d_mutable
+                discriminator, d_params, d_aux2,
+                target.astype(image.dtype), True, d_mutable
             )
             d_aux3 = dict(d_aux2)
             d_aux3.update(d_updates2)

@@ -9,6 +9,7 @@ step runs under the 8-device mesh and stays finite.
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 from flax import linen as nn
 
@@ -67,6 +68,7 @@ def test_accumulation_rejects_indivisible_batch(rng):
         step(state, (img, tar), jnp.float32(1e-3))
 
 
+@pytest.mark.slow
 def test_accumulation_flagship_on_mesh(rng):
     """Flagship (BN + SPADE + spectral-free) accumulated step runs sharded
     over the 8-device mesh and produces a finite loss."""

@@ -82,6 +82,7 @@ def test_int8_stage_close_to_f32(rng, planes, label, shapes, nh):
     assert cc > 0.999, cc
 
 
+@pytest.mark.slow
 def test_flagship_int8_model_runs_and_tracks_f32(rng):
     """Flagship eval forward with int8 stages: correlates with the f32
     path and produces near-identical sigmoid masks."""
@@ -192,6 +193,7 @@ def test_int8_halo_carry_close_to_recompute(rng):
     assert rms_f < 0.02, f"relative RMS vs f32 {rms_f:.4f}"
 
 
+@pytest.mark.slow
 def test_record_and_calibrate_flagship(rng, tmp_path):
     """End-to-end PTQ flow: record ranges on the flagship, install them,
     and check the calibrated int8 forward still tracks f32."""
@@ -231,6 +233,7 @@ def test_record_and_calibrate_flagship(rng, tmp_path):
     assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.99
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("arch", ["SSUNet", "UNet_R_SS"])
 def test_calibrated_int8_other_ss_archs(rng, arch):
     """The s8-emission keys added to SSUNet/UNet_R_SS must keep the
@@ -358,6 +361,7 @@ def test_int8_stage_lazy_upsample_close_to_materialized(rng):
     assert rms < 0.02, f"relative RMS {rms:.4f}"
 
 
+@pytest.mark.slow
 def test_int8_pair_dots_matches_per_row(rng):
     """int8 pair mode reuses the per-row-quantized weights in 2-row blocks
     (zero blocks exact in s8) — identical s32 accumulations, so exact."""
@@ -393,6 +397,7 @@ def test_int8_pair_dots_matches_per_row(rng):
     )
 
 
+@pytest.mark.slow
 def test_int8_lazy_pool_model_parity(rng):
     """Calibrated int8 flagship forward with lazy pool seams (pool-on-read
     in the s8 kernel; DownQTensor in the kernel-to-kernel flow) vs

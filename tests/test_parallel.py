@@ -106,6 +106,7 @@ def test_batchnorm_shard_map_matches_global(rng):
     )
 
 
+@pytest.mark.slow
 def test_train_step_shard_map_fused_dp_parity(rng):
     """The shard_map DP train step with the fused train kernels matches the
     (GSPMD-semantic) single-device XLA-composition step on the same global

@@ -195,6 +195,7 @@ def test_probe_verdicts_are_cached(rng, monkeypatch):
     assert len(calls) == 1
 
 
+@pytest.mark.slow
 def test_ssunet_fused_stage_model_parity(rng):
     """SSUNet (VGGBlock stages, zero-shortcut fused packing) eval forward:
     fused vs composition."""
@@ -216,6 +217,7 @@ def test_ssunet_fused_stage_model_parity(rng):
     )
 
 
+@pytest.mark.slow
 def test_unet_b_ss_fused_stage_model_parity(rng):
     """UNet_B_SS (Bottleneck stages) eval forward: fused vs composition."""
     x = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
@@ -392,6 +394,7 @@ def test_stage_forward_parity_seg_stacked(rng, planes, label, shapes, nh):
         (16, 3, [(1, 24, 8, 8), (1, 24, 8, 16)], 4.0),   # 3 bands, 2 parts
     ],
 )
+@pytest.mark.slow
 def test_halo_carry_matches_recompute(rng, planes, label, shapes, nh):
     from ssunet_gan_tpu.ops.stage_kernel import set_halo_carry
 
@@ -470,6 +473,7 @@ def test_lookahead_grid_matches_prologue(rng, planes, label, shapes, nh):
     )
 
 
+@pytest.mark.slow
 def test_lookahead_model_parity(rng):
     """Full-model check of the lookahead grid (covers the folded final
     conv and the W-minor seams between lookahead kernels)."""
@@ -488,7 +492,11 @@ def test_lookahead_model_parity(rng):
     finally:
         set_lookahead(None)
         set_fused_stage(None)
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # bias-tile mode adds the bias POST-dot; XLA may FMA-fuse that add
+    # differently per grid program, so the model-level pin allows f32
+    # ulp-level drift (the direct-kernel grid pins stay bit-exact)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=0, atol=1e-6)
 
 def test_bneck_lookahead_grid_matches_prologue(rng):
     """The bneck variant of the lookahead grid (4-row scratch + 4-row
@@ -576,6 +584,7 @@ def test_lazy_upsample_stage_call_bit_exact_bf16(rng):
             np.testing.assert_allclose(a, b, atol=3e-6 * np.abs(b).max())
 
 
+@pytest.mark.slow
 def test_lazy_upsample_model_parity(rng):
     """Flagship eval forward with lazy upsample seams vs the default fused
     path, plus fallbacks: train-mode and composition consumers must
@@ -673,11 +682,14 @@ def test_pair_dots_matches_per_row(rng):
         sk.set_pair_dots(True)
         got = sk.fused_eval_stage(parts, bp, sp, final_head=head)
         sk.set_pair_dots(None)
+        # vs the (default) bias-tile per-row program: the pair dot's K is
+        # 12·ΣCp with zero blocks — same math, different f32 association
         np.testing.assert_allclose(
-            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
         )
 
 
+@pytest.mark.slow
 def test_pair_dots_bf16_model_smoke(rng):
     """Flagship bf16 eval forward, pair ON (default) vs OFF — the whole
     model through the pair kernels stays within bf16 tolerance of the
@@ -707,6 +719,7 @@ def test_pair_dots_bf16_model_smoke(rng):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_pool_on_read_stage_call_bit_exact(rng):
     """Direct _stage_call: a full-res down part pooled on read must match
     the same call on the materialized pooled part — bit-exact (same max
@@ -739,6 +752,7 @@ def test_pool_on_read_stage_call_bit_exact(rng):
             np.asarray(got, np.float32), np.asarray(want, np.float32))
 
 
+@pytest.mark.slow
 def test_lazy_pool_model_parity(rng):
     """Flagship bf16 eval forward with lazy pool seams (default) vs
     materializing pools — bit-exact; f32 composition fallback unchanged.
@@ -781,6 +795,7 @@ def test_lazy_pool_model_parity(rng):
     np.testing.assert_array_equal(np.asarray(comp_lazy), np.asarray(comp))
 
 
+@pytest.mark.slow
 def test_bneck_tall_bands_and_upsample_on_read(rng):
     """r5 bneck-kernel upgrades: band heights beyond the historical th=8
     are value-invariant, and an UpTensor part expands on read bit-exactly

@@ -165,6 +165,7 @@ def test_sharded_tile_inference_matches_single_device(rng):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sharded_inference_fused_kernels_match_unfused(rng):
     """The mesh path runs the forward under shard_map because the fused
     Pallas stage kernels have no SPMD partitioning rule (r2 ADVICE): with
@@ -356,3 +357,52 @@ def test_sharded_merge_canvas_matches_unsharded(rng):
     got = merge_patches_device(probs, coords, hw, hw, p, 2, overlap=ov,
                                mesh=mesh)
     np.testing.assert_array_equal(got, want)
+
+
+def test_merge_accepts_prequantized_uint8_probs(rng):
+    """r5: the forward can emit floor(sigmoid·255) uint8 (infer/api
+    quantize_probs) — the merge's own first step, so merging the uint8
+    tensor must be bit-equal to merging the f32 probabilities."""
+    from ssunet_gan_tpu.data.tiling import merge_patches_device
+
+    hw, p, ov = 256, 64, 0.5
+    coords = grid_coords(hw, hw, p, ov)
+    probs = rng.random((len(coords), 32, 32, 3)).astype(np.float32)
+    q8 = np.floor(probs * 255.0).astype(np.uint8)
+
+    want = merge_patches_device(probs, coords, hw, hw, p, 3, overlap=ov)
+    got = merge_patches_device(q8, coords, hw, hw, p, 3, overlap=ov)
+    np.testing.assert_array_equal(got, want)
+    # the general scan path too
+    want_s = merge_patches_device(probs, coords, hw, hw, p, 3)
+    got_s = merge_patches_device(q8, coords, hw, hw, p, 3)
+    np.testing.assert_array_equal(got_s, want_s)
+    # return_device keeps the result on device, values unchanged
+    dev = merge_patches_device(q8, coords, hw, hw, p, 3, overlap=ov,
+                               return_device=True)
+    assert not isinstance(dev, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(dev), want)
+
+
+def test_forward_quantize_probs_matches_merge_quantization(rng):
+    """infer/api._get_forward(quantize_probs=True) emits exactly
+    floor(sigmoid·255) as uint8 (and the dtype cast hook works)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ssunet_gan_tpu.infer.api import _get_forward
+    from ssunet_gan_tpu.models import build_model
+    from ssunet_gan_tpu.utils import jit_init
+
+    model = build_model("UNet", num_classes=2, input_channels=3)
+    x8 = rng.integers(0, 255, (2, 32, 32, 3), np.uint8)
+    sample = jnp.zeros((2, 32, 32, 3), jnp.float32)
+    variables = jit_init(model, jax.random.PRNGKey(0), sample, train=False)
+
+    fwd, dv = _get_forward(model, variables, None, normalize=True)
+    fwd8, dv8 = _get_forward(model, variables, None, normalize=True,
+                             quantize_probs=True)
+    p = np.asarray(fwd(dv, jnp.asarray(x8)), np.float32)
+    q = np.asarray(fwd8(dv8, jnp.asarray(x8)))
+    assert q.dtype == np.uint8
+    np.testing.assert_array_equal(q, np.floor(p * 255.0).astype(np.uint8))

@@ -196,6 +196,7 @@ def test_conv3_wgrad_kernel_parity(rng, n, h, w, cps, c):
     )
 
 
+@pytest.mark.slow
 def test_flagship_train_forward_fused_matches_composition(rng):
     """Flagship train-mode forward + batch_stats updates: fused vs XLA."""
     x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
@@ -225,6 +226,7 @@ def test_flagship_train_forward_fused_matches_composition(rng):
                                    atol=1e-4)
 
 
+@pytest.mark.slow
 def test_train_step_parity_fused(rng):
     """One full supervised train step (loss+grads+Adam+clamp) fused vs XLA."""
     from ssunet_gan_tpu.ops.losses import bce_dice_loss
@@ -255,6 +257,7 @@ def test_train_step_parity_fused(rng):
     )
     assert worst < 5e-3, worst
 
+@pytest.mark.slow
 def test_train_lookahead_grid_matches_prologue(rng):
     """The lookahead grid in the train kernels (1-row scratch + 8-row
     next-band view, no prologue step) is bit-exact vs the prologue grid:

@@ -169,13 +169,23 @@ def test_qtensor_wminor_pool_and_dequant():
     np.testing.assert_allclose(
         np.asarray(t.dequant()), np.asarray(q, np.float32) * 0.02, rtol=1e-6
     )
-    pooled = pool2x2(t)
+    # r5: W-minor QTensor pools are LAZY by default (pool-on-read in the
+    # s8 kernel) — the DownQTensor materializes to the same pooled QTensor
+    from ssunet_gan_tpu.ops.acts import DownQTensor, materialize_down_q
+
+    lazyp = pool2x2(t)
+    assert isinstance(lazyp, DownQTensor)
+    assert lazyp.shape == (2, 4, 3, 4)
+    pooled = materialize_down_q(lazyp)
     assert isinstance(pooled, QTensor) and pooled.wminor
+    eager = pool2x2(t, lazy=False)
+    assert isinstance(eager, QTensor) and eager.wminor
+    np.testing.assert_array_equal(np.asarray(eager.q), np.asarray(pooled.q))
     ref = max_pool_2x2(q.astype(jnp.int32)).astype(jnp.int8)
     np.testing.assert_array_equal(
         np.asarray(jnp.swapaxes(pooled.q, 2, 3)), np.asarray(ref)
     )
-    p2, code = pool2x2_with_indices(t)
+    p2, code = pool2x2_with_indices(t, lazy=False)
     assert isinstance(p2, QTensor) and p2.wminor and isinstance(code, WCode)
     np.testing.assert_array_equal(np.asarray(p2.q), np.asarray(pooled.q))
 
@@ -313,3 +323,36 @@ def test_unpool2x2_grad_gathers_recorded_corner():
         k = cn[i]
         want[i] = gn[i[0], 2 * i[1] + k // 2, 2 * i[2] + k % 2, i[3]]
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_upsample_bwd_decomp_matches_einsum_transpose(rng):
+    """r5: the train seams' H-interp einsum carries a copy-free custom
+    backward (strided even/odd MAJOR-axis views + per-row weighted adds)
+    — same math as autodiff's einsum transpose up to f32 re-association
+    (bit-exact for the bf16 operands the train path uses)."""
+    import jax
+
+    from ssunet_gan_tpu.ops.acts import WTensor
+    from ssunet_gan_tpu.ops import wminor as wm
+
+    for dtype, bar in ((jnp.float32, 2e-6), (jnp.bfloat16, 0.0)):
+        v = jnp.asarray(
+            rng.normal(size=(2, 16, 8, 16)).astype(np.float32)).astype(dtype)
+        g = jnp.asarray(
+            rng.normal(size=(2, 32, 8, 32)).astype(np.float32)).astype(dtype)
+
+        def f(x):
+            out = wm.upsample2x(WTensor(x), align_corners=True)
+            return jnp.sum(out.v.astype(jnp.float32) * g.astype(jnp.float32))
+
+        try:
+            wm.set_lazy_upsample(False)
+            wm.set_up_bwd_decomp(False)
+            want = np.asarray(jax.jit(jax.grad(f))(v), np.float32)
+            wm.set_up_bwd_decomp(True)
+            got = np.asarray(jax.jit(jax.grad(f))(v), np.float32)
+        finally:
+            wm.set_up_bwd_decomp(True)
+            wm.set_lazy_upsample(None)
+        rel = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+        assert rel <= max(bar, 0.0) or rel < 2e-6, rel
