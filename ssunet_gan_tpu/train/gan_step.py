@@ -46,6 +46,18 @@ from ssunet_gan_tpu.ops.losses import bce_with_logits_loss
 from ssunet_gan_tpu.ops.metrics import dice_coef, foreground_slice, iou_score
 from ssunet_gan_tpu.train.state import TrainState
 
+# Joint-scalar GAN gradient (shared fake forward) vs the alternating
+# two-grad structure — default ON; set_joint_gan(False) restores the
+# alternating formulation for A/B (always used when D carries spectral
+# power-iteration state).
+_JOINT_GAN = True
+
+
+def set_joint_gan(enabled: bool) -> None:
+    global _JOINT_GAN
+    _JOINT_GAN = bool(enabled)
+
+
 ALPHA = 1e-4  # content (MSE) weight, train_seg_gan.py:172
 BETA = 1e-3  # adversarial weight, train_seg_gan.py:173
 GRAD_CLIP = 0.8  # train_seg_gan.py:174
@@ -83,6 +95,85 @@ def make_gan_train_step(
     """Build the jitted GAN step ``(g_state, d_state, batch, lr) →
     (g_state, d_state, metrics)``. ``mesh=`` → shard_map DP (module docs)."""
 
+    def _grads_joint(g_params, d_params, g_aux, d_aux, g_mutable, d_mutable,
+                     image, target):
+        """Both phases as ONE gradient over a routed joint scalar (r5).
+
+        The alternating formulation forwards D over the SAME fake batch
+        twice (G phase + D phase, ~1 D-forward of pure recompute) and runs
+        two full backward traversals. Since train-mode BatchNorm's
+        activations never depend on the running stats, the two fake
+        forwards are value-identical — so the joint scalar
+
+            perceptual(θg; D(sg(θd), g_out))          [adv grads → G only]
+          + BCE(D(θd, target), 1) + BCE(D(θd, sg(g_out)), 0)   [→ D only]
+
+        differentiated once wrt (θg, θd) yields EXACTLY the reference's two
+        phase gradients (stop_gradients route each term), while XLA CSEs
+        the duplicated fake primal and each backward is pruned to its live
+        path. The reference's THIRD running-stat update (fake after real,
+        train_seg_gan.py:217-233) is reconstructed arithmetically: the
+        fake batch's stats b satisfy upd1 = 0.9·ra0 + 0.1·b, so
+        upd3 = 0.9·upd2 + 0.1·b — same values up to one f32 division.
+
+        Only valid when D carries no per-forward iterated state (spectral
+        u/v would iterate 3× in the reference); callers gate on that.
+        """
+
+        def joint_loss(both):
+            gp, dp = both
+            g_out, g_updates = _apply(generator, gp, g_aux, image, True, g_mutable)
+            g_out = jnp.where(jnp.isnan(g_out), jnp.zeros_like(g_out), g_out)
+            seg_loss = seg_loss_fn(g_out, target)
+            content = _mse(g_out, target)
+            dp_const = jax.lax.stop_gradient(dp)
+            d_fake_g, d_updates1 = _apply(
+                discriminator, dp_const, d_aux, g_out, True, d_mutable
+            )
+            adv = bce_with_logits_loss(d_fake_g, jnp.ones_like(d_fake_g))
+            perceptual = seg_loss + alpha * content + beta * adv
+
+            d_aux2 = dict(d_aux)
+            if "batch_stats" in d_updates1:
+                d_aux2["batch_stats"] = d_updates1["batch_stats"]
+            tgt = target.astype(image.dtype)
+            d_real, d_updates2 = _apply(
+                discriminator, dp, d_aux2, tgt, True, d_mutable
+            )
+            g_out_sg = jax.lax.stop_gradient(g_out)
+            d_fake_d, _ = _apply(
+                discriminator, dp, d_aux2, g_out_sg, True, d_mutable
+            )
+            d_loss = bce_with_logits_loss(
+                d_fake_d, jnp.zeros_like(d_fake_d)
+            ) + bce_with_logits_loss(d_real, jnp.ones_like(d_real))
+
+            # reconstruct the reference's 3rd running-stat update (fake
+            # AFTER real): b = (upd1 − 0.9·ra0)/0.1; upd3 = 0.9·upd2 + 0.1·b
+            d_updates3 = dict(d_updates2)
+            if "batch_stats" in d_updates2:
+                d_updates3["batch_stats"] = jax.tree_util.tree_map(
+                    lambda u2, u1, r0: 0.9 * u2 + (u1 - 0.9 * r0),
+                    d_updates2["batch_stats"], d_updates1["batch_stats"],
+                    d_aux["batch_stats"],
+                )
+            out_m = foreground_slice(g_out, num_classes)
+            tar_m = foreground_slice(target, num_classes)
+            metrics = {
+                "loss": seg_loss,
+                "iou": iou_score(out_m, tar_m),
+                "dice": dice_coef(out_m, tar_m),
+                "perceptual_loss": perceptual,
+                "adv_loss": adv,
+                "d_loss": d_loss,
+            }
+            return perceptual + d_loss, (g_updates, d_updates3, metrics)
+
+        (g_grads, d_grads), (g_updates, d_updates3, metrics) = jax.grad(
+            joint_loss, has_aux=True
+        )((g_params, d_params))
+        return g_grads, d_grads, g_updates, d_updates3, metrics
+
     def _grads(g_params, d_params, g_aux, d_aux, g_mutable, d_mutable,
                image, target):
         """Both grad phases on (this shard of) the batch; no state updates.
@@ -90,7 +181,15 @@ def make_gan_train_step(
         D grads use the PRE-update generator output and PRE-update D params
         (reference order), so neither phase depends on the other's update —
         the optimizer steps can apply outside on replicated grads.
+
+        The joint-scalar formulation (:func:`_grads_joint`, shared fake
+        forward) runs whenever D carries no spectral power-iteration state;
+        the alternating two-grad structure below is the fallback that
+        preserves per-forward u/v iteration counts exactly.
         """
+        if _JOINT_GAN and "spectral" not in d_mutable:
+            return _grads_joint(g_params, d_params, g_aux, d_aux,
+                                g_mutable, d_mutable, image, target)
 
         # ---- G phase ----------------------------------------------------
         def g_loss_fn(g_params):

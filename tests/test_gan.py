@@ -128,3 +128,50 @@ def test_end_to_end_gan_experiment(tmp_path):
     assert os.path.exists(os.path.join(model_dir, "config.yml"))
     assert os.path.exists(os.path.join(model_dir, "log.csv"))
     assert np.isfinite(best_iou)
+
+
+@pytest.mark.slow
+def test_joint_gan_step_matches_alternating(rng):
+    """r5 joint-scalar GAN gradient (shared fake forward): params update
+    BIT-exactly like the alternating two-grad structure; D's running
+    stats match to the ulp of the reconstructed third update."""
+    from ssunet_gan_tpu.models import build_model
+    from ssunet_gan_tpu.models.gan import Discriminator
+    from ssunet_gan_tpu.ops.losses import bce_dice_loss
+    from ssunet_gan_tpu.train import gan_step as gs
+    from ssunet_gan_tpu.train.optim import build_optimizer
+    from ssunet_gan_tpu.train.state import TrainState
+    from ssunet_gan_tpu.utils import jit_init
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray((rng.random((2, 32, 32, 3)) > 0.5), jnp.float32)
+    model = build_model("UNet", num_classes=3, input_channels=3)
+    disc = Discriminator(num_classes=3, kernel_size=3, n_channels=8,
+                         n_blocks=4, fc_size=64)
+    tx = build_optimizer({"optimizer": "Adam", "lr": 1e-4,
+                          "weight_decay": 0.0})
+    g_vars = jit_init(model, jax.random.PRNGKey(0), x, train=True)
+    d_vars = jit_init(disc, jax.random.PRNGKey(1), y, train=True)
+
+    def run(joint):
+        gs.set_joint_gan(joint)
+        fresh = lambda t: jax.tree_util.tree_map(jnp.array, t)
+        g_state = TrainState.create(fresh(g_vars), tx)
+        d_state = TrainState.create(fresh(d_vars), tx)
+        step = gs.make_gan_train_step(model, disc, bce_dice_loss, tx, tx, 3)
+        g2, d2, m = step(g_state, d_state, (x, y), jnp.float32(1e-4))
+        return jax.device_get((g2.params, d2.params, d2.batch_stats, m))
+
+    try:
+        gj, dj, bj, mj = run(True)
+        ga, da, ba, ma = run(False)
+    finally:
+        gs.set_joint_gan(True)
+
+    jax.tree_util.tree_map(np.testing.assert_array_equal, gj, ga)
+    jax.tree_util.tree_map(np.testing.assert_array_equal, dj, da)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=2e-6, atol=1e-7),
+        bj, ba)
+    for k in mj:
+        np.testing.assert_allclose(float(mj[k]), float(ma[k]), rtol=1e-6)
