@@ -576,6 +576,11 @@ def resolve_band_th(
     sub_w = w if f > 1 else 0
     up = tuple(isinstance(p, UpTensor) for p in parts)
     down = tuple(isinstance(p, (DownTensor, DownQTensor)) for p in parts)
+    if f > 1:
+        # lane-packed stages materialize their lazy pool seams before the
+        # kernel (fused_eval_stage*), so the probe must model them as
+        # plain parts
+        down = (False,) * len(parts)
     key = (h, wp, sub_w, part_ch, planes, label_nc, nhidden, num_out,
            dtype.name, seg_stack_enabled(int8), int8, _BAND_ROWS,
            halo_carry_enabled(), lookahead_enabled(), up, _VMEM_LIMIT,
