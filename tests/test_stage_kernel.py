@@ -674,8 +674,13 @@ def test_pair_dots_matches_per_row(rng):
     fh = (jnp.asarray(rng.normal(size=(1, 1, planes, 3)).astype(np.float32)),
           jnp.asarray(rng.normal(size=(3,)).astype(np.float32)))
 
-    assert sk.pair_dots_enabled(planes)        # auto ON at 2C <= 128
-    assert not sk.pair_dots_enabled(128)       # 2C > 128 stays per-row
+    assert not sk.pair_dots_enabled(planes)   # auto OFF (measured negative)
+    sk.set_pair_dots(True)
+    try:
+        assert sk.pair_dots_enabled(planes)    # opt-in at 2C <= 128
+        assert not sk.pair_dots_enabled(128)   # 2C > 128 stays per-row
+    finally:
+        sk.set_pair_dots(None)
     for parts, head in (((skip, upt), fh), ((skip, full), None)):
         sk.set_pair_dots(False)
         want = sk.fused_eval_stage(parts, bp, sp, final_head=head)
